@@ -1,0 +1,60 @@
+"""Batched autocorrelation, FFT-based, with the reference's seed quirk.
+
+The reference (``/root/reference/src/periodic.rs:276-289``) computes a naive
+O(n*lags) autocorrelation with a quirk: the accumulator is *seeded with
+x[0]* (not x[0]*x[lag]) and the i=0 term is skipped, so
+
+    r[lag] = x[0] + sum_{i=1}^{n-1-lag} x[i] * x[i+lag]
+           = AC_true[lag] - x[0]*x[lag] + x[0]
+
+(The doctest example in periodic.rs:258-264 claims `[-1, -1]` for
+`[1, .5, 0, -.5, -1].autocorrelate(2)`; the actual code yields `[2.5, 1.5]` —
+doctests are disabled in the reference, Cargo.toml:15.)
+
+TPU mapping: one batched rFFT -> |.|^2 -> irFFT over the frame axis (O(n log n)
+on the VPU/MXU-friendly XLA FFT), plus the closed-form additive correction to
+match the reference bit-for-bit. `quirk=False` gives the textbook result.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["autocorrelate"]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (int(n) - 1).bit_length()
+
+
+def autocorrelate(x: jax.Array, n_coeffs: int | None = None, quirk: bool = True) -> jax.Array:
+    """Autocorrelation along the last axis.
+
+    Args:
+      x: (..., n) samples.
+      n_coeffs: number of lags to return (default n). Must be <= n, as in the
+        reference where longer requests would underflow (periodic.rs:281).
+      quirk: reproduce the reference seed-term quirk exactly (default). With
+        False, returns the textbook linear autocorrelation.
+
+    Returns:
+      (..., n_coeffs) autocorrelation coefficients.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    if n_coeffs is None:
+        n_coeffs = n
+    if n_coeffs > n:
+        raise ValueError(f"n_coeffs ({n_coeffs}) must be <= frame length ({n})")
+
+    nfft = _next_pow2(2 * n)
+    spec = jnp.fft.rfft(x, n=nfft, axis=-1)
+    power = spec * jnp.conj(spec)
+    ac = jnp.fft.irfft(power, n=nfft, axis=-1)[..., :n_coeffs]
+    ac = ac.astype(x.dtype)
+
+    if quirk:
+        x0 = x[..., :1]
+        ac = ac - x0 * x[..., :n_coeffs] + x0
+    return ac
