@@ -1,0 +1,146 @@
+"""Parity tests for voxtpu.roots against reference goldens (polynomial.rs tests)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from voxtpu import errors
+from voxtpu.cplx import C
+from voxtpu.roots import degree, off_low, laguerre, find_roots
+
+
+def cpoly(vals, dtype=np.float64):
+    re = jnp.asarray(np.asarray([complex(v).real for v in vals], dtype=dtype))
+    im = jnp.asarray(np.asarray([complex(v).imag for v in vals], dtype=dtype))
+    return C(re, im)
+
+
+def roots_as_complex(r: C, count: int) -> np.ndarray:
+    return (np.asarray(r.re) + 1j * np.asarray(r.im))[:count]
+
+
+def test_degree():
+    # polynomial.rs:269-273
+    c = cpoly([3.0, 2.0, 4.0, 0.0, 0.0])
+    assert int(degree(c)) == 2
+
+
+def test_off_low():
+    # polynomial.rs:275-279
+    c = cpoly([0.0, 0.0, 3.0, 2.0, 4.0])
+    assert int(off_low(c)) == 2
+
+
+def test_laguerre_golden():
+    # polynomial.rs:281-292: degree-3 poly from (-64,-64) ->
+    # (-0.1070229535872, -0.8514680262155), tol 1e-8.
+    c = cpoly([1.0, 2.5, 2.0, 3.0])
+    z = laguerre(c, C(jnp.asarray(-64.0), jnp.asarray(-64.0)))
+    assert abs(float(z.re) - (-0.1070229535872)) < 1e-8
+    assert abs(float(z.im) - (-0.8514680262155)) < 1e-8
+
+
+def test_laguerre_f32_finite():
+    # polynomial.rs:379-386: order-10 LPC-like poly stays finite in f32.
+    vals = [1.0, -0.99640256, 0.25383306, -0.25471634, 0.5084799, -0.0685858,
+            -0.35042483, 0.07676613, -0.12874511, 0.11829436, 0.023972526]
+    c = cpoly(vals, dtype=np.float32)
+    z = laguerre(c, C(jnp.asarray(np.float32(-64.0)), jnp.asarray(np.float32(-64.0))))
+    assert np.isfinite(float(z.re))
+    assert np.isfinite(float(z.im))
+
+
+def test_1d_roots():
+    # polynomial.rs:294-305
+    r, count, status = find_roots(cpoly([1.0, 2.5]))
+    assert int(status) == 0
+    assert int(count) == 1
+    got = roots_as_complex(r, 1)
+    np.testing.assert_allclose(got, [-0.4 + 0j], atol=1e-12)
+
+
+def test_2d_roots():
+    # polynomial.rs:307-319
+    r, count, status = find_roots(cpoly([1.0, 2.5, -2.0]))
+    assert int(count) == 2
+    got = roots_as_complex(r, 2)
+    exp = [-0.31872930440884, 1.5687293044088]
+    np.testing.assert_allclose(got.real, exp, atol=1e-12)
+    np.testing.assert_allclose(got.imag, [0, 0], atol=1e-12)
+
+
+def test_2d_complex_roots():
+    # polynomial.rs:321-333
+    r, count, status = find_roots(cpoly([1.0, -2.5, 2.0]))
+    got = roots_as_complex(r, 2)
+    exp = [0.625 - 0.33071891388307j, 0.625 + 0.33071891388307j]
+    np.testing.assert_allclose(got, exp, atol=1e-12)
+
+
+def test_2d_complex_roots_f32():
+    # polynomial.rs:335-347 (tolerance in the rust test is 1e-12 on f32,
+    # which only holds because values are exactly representable-ish; we use
+    # the f32-realistic 1e-6).
+    r, count, status = find_roots(cpoly([1.0, -2.5, 2.0], dtype=np.float32))
+    got = roots_as_complex(r, 2)
+    exp = [0.625 - 0.33071891388307j, 0.625 + 0.33071891388307j]
+    np.testing.assert_allclose(got, exp, atol=1e-6)
+
+
+def test_hi_d_roots():
+    # polynomial.rs:349-362: cubic, tol 1e-6.
+    r, count, status = find_roots(cpoly([1.0, 2.5, -2.0, -3.0]))
+    assert int(count) == 3
+    got = roots_as_complex(r, 3)
+    exp = [-1.1409835232292, -0.35308705904629, 0.82740391560878]
+    np.testing.assert_allclose(got.real, exp, atol=1e-6)
+    np.testing.assert_allclose(got.imag, [0, 0, 0], atol=1e-6)
+
+
+def test_leading_zero_coeffs_give_zero_roots():
+    # polynomial.rs:103-106: off_low leading zeros -> zero roots first.
+    r, count, status = find_roots(cpoly([0.0, 1.0, 2.5]))
+    assert int(count) == 2
+    got = roots_as_complex(r, 2)
+    np.testing.assert_allclose(got, [0.0, -0.4], atol=1e-12)
+
+
+def test_zero_degree_flags_status():
+    r, count, status = find_roots(cpoly([3.0, 0.0, 0.0]))
+    assert int(status) & errors.POLY_ZERO_DEGREE
+
+
+def test_batched_matches_single():
+    polys = [
+        [1.0, 2.5, -2.0, -3.0],
+        [1.0, -2.5, 2.0, 0.0],
+        [1.0, 2.5, 0.0, 0.0],
+        [0.2, -1.3, 0.7, 2.1],
+    ]
+    c = C(
+        jnp.asarray(np.array(polys, dtype=np.float64)),
+        jnp.zeros((4, 4), dtype=jnp.float64),
+    )
+    rb, cb, sb = find_roots(c)
+    for i, p in enumerate(polys):
+        r1, c1_, s1 = find_roots(cpoly(p))
+        np.testing.assert_allclose(np.asarray(rb.re)[i], np.asarray(r1.re), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(rb.im)[i], np.asarray(r1.im), atol=1e-12)
+        assert int(cb[i]) == int(c1_)
+
+
+def test_roots_against_numpy_random_monic():
+    """High-degree sanity: compare root *sets* against numpy.roots."""
+    rng = np.random.default_rng(5)
+    for order in (8, 13):
+        coeffs = rng.standard_normal(order + 1) * 0.5
+        coeffs[-1] = 1.0  # monic, like the LPC polynomial (lib.rs:76-91)
+        r, count, status = find_roots(cpoly(list(coeffs)))
+        assert int(status) == 0
+        got = roots_as_complex(r, int(count))
+        exp = np.roots(coeffs[::-1])
+        # Compare as sets (order differs): optimal assignment by distance.
+        from scipy.optimize import linear_sum_assignment
+
+        cost = np.abs(got[:, None] - exp[None, :])
+        ri, ci = linear_sum_assignment(cost)
+        assert cost[ri, ci].max() < 1e-6

@@ -1,0 +1,247 @@
+"""Batched polynomial root finding: Laguerre iteration + synthetic deflation.
+
+Reference: ``/root/reference/src/polynomial.rs``. The reference finds roots of
+one polynomial at a time: 20 fixed Laguerre iterations from a (-2,-2) start
+(polynomial.rs:34-72), synthetic division to deflate (polynomial.rs:155-195),
+closed-form quadratic/linear tails (polynomial.rs:131-144).
+
+Deflation is inherently serial *per polynomial* (<= n_coeffs steps for LPC
+orders <= 26) but embarrassingly parallel *across frames*, so the TPU design
+batches every step over the frame axis: each deflation round runs one batched
+20-iteration Laguerre solve (pure VPU elementwise math on (re, im) pairs) and
+one batched synthetic-division scan over the coefficient axis.
+
+Reference-exact quirks reproduced:
+- Laguerre's `n` in the update formula is the *initial* slice degree, held
+  constant through deflation (the reference calls `coeffs.laguerre()` on the
+  full fixed-length workspace slice whose top coefficients get zeroed as
+  deflation proceeds, polynomial.rs:118 + 39).
+- The Horner recurrence order (p, p', p''-accumulators; polynomial.rs:41-45).
+- Early convergence when |p(z)| <= 1e-16 (polynomial.rs:47).
+- Denominator sign chosen by larger `hypot` norm (polynomial.rs:63-67).
+- Quadratic tail uses `(x +/- sqrt(c1^2 - 4 c2 c0)) / (2 c2)` with the
+  principal complex sqrt (polynomial.rs:131-139).
+
+Errors: zero-degree polynomials (polynomial.rs:95) and division-by-zero roots
+(polynomial.rs:192) set per-frame status flags instead of raising.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from voxtpu import errors
+from voxtpu.cplx import C, cadd, cdiv, cmul, cneg, cnorm, csqrt, csub
+
+__all__ = ["degree", "off_low", "laguerre", "find_roots"]
+
+
+def degree(c: C) -> jax.Array:
+    """Index of the highest nonzero coefficient (0 if none). polynomial.rs:26-28."""
+    nonzero = (c.re != 0) | (c.im != 0)
+    n = nonzero.shape[-1]
+    idx = jnp.arange(n)
+    return jnp.max(jnp.where(nonzero, idx, 0), axis=-1)
+
+
+def off_low(c: C) -> jax.Array:
+    """Index of the lowest nonzero coefficient (0 if none). polynomial.rs:30-32."""
+    nonzero = (c.re != 0) | (c.im != 0)
+    n = nonzero.shape[-1]
+    idx = jnp.arange(n)
+    return jnp.min(jnp.where(nonzero, idx, n - 1), axis=-1)
+
+
+def _horner_pdd(c: C, z: C) -> tuple[C, C, C]:
+    """Simultaneous Horner evaluation of p, p', p''/2 accumulators.
+
+    Transcribes polynomial.rs:39-45. Runs over the full fixed coefficient
+    axis; zero top coefficients are a no-op prefix, so the result equals the
+    reference's evaluation from the true degree.
+    """
+    n = c.re.shape[-1]
+    zero = jnp.zeros_like(c.re[..., 0])
+    a = C(c.re[..., n - 1], c.im[..., n - 1])
+    b = C(zero, zero)
+    g = C(zero, zero)
+    for j in range(n - 2, -1, -1):
+        g = cadd(cmul(g, z), b)
+        b = cadd(cmul(b, z), a)
+        a = cadd(cmul(a, z), C(c.re[..., j], c.im[..., j]))
+    return a, b, g
+
+
+def laguerre(c: C, start: C, n_lag: jax.Array | int | None = None, iters: int = 20) -> C:
+    """Batched Laguerre iteration (polynomial.rs:34-72).
+
+    Args:
+      c: coefficients, (..., N) pairs, index = power.
+      start: starting point (broadcastable pairs).
+      n_lag: the `n` in the Laguerre update — the reference uses the slice
+        length minus one, *not* the live degree. Default N-1. May be a traced
+        per-frame array (used during deflation, where the slice length is the
+        initial degree plus one).
+      iters: fixed iteration count (reference: 20).
+    """
+    re = jnp.asarray(c.re)
+    im = jnp.asarray(c.im)
+    c = C(re, im)
+    N = re.shape[-1]
+    if n_lag is None:
+        n_lag = N - 1
+    batch = re.shape[:-1]
+    dt = re.dtype
+    nf = jnp.broadcast_to(jnp.asarray(n_lag, dtype=dt), batch)
+    n_c = C(nf, jnp.zeros_like(nf))
+    nm1_c = C(nf - 1.0, jnp.zeros_like(nf))
+
+    z = C(
+        jnp.broadcast_to(jnp.asarray(start.re, dtype=dt), batch),
+        jnp.broadcast_to(jnp.asarray(start.im, dtype=dt), batch),
+    )
+    done = jnp.zeros(batch, dtype=bool)
+    eps = jnp.asarray(1.0e-16, dtype=dt)
+
+    for _ in range(iters):
+        p, dp, d2p = _horner_pdd(c, z)
+        newly_done = cnorm(p) <= eps
+        done = done | newly_done
+
+        ca = cdiv(cneg(dp), p)
+        ca2 = cmul(ca, ca)
+        two = C(jnp.full(batch, 2.0, dtype=dt), jnp.zeros(batch, dtype=dt))
+        cb = csub(ca2, cdiv(cmul(two, d2p), p))
+        c1 = csqrt(csub(cmul(cmul(nm1_c, n_c), cb), ca2))
+        cc1 = cadd(ca, c1)
+        cc2 = csub(ca, c1)
+        use1 = cnorm(cc1) > cnorm(cc2)
+        denom = C(jnp.where(use1, cc1.re, cc2.re), jnp.where(use1, cc1.im, cc2.im))
+        cc = cdiv(n_c, denom)
+        z_new = cadd(z, cc)
+        # Frozen once converged; also guard non-finite steps from dead lanes.
+        upd = ~done
+        z = C(jnp.where(upd, z_new.re, z.re), jnp.where(upd, z_new.im, z.im))
+    return z
+
+
+def _deflate(c: C, z: C, active: jax.Array) -> C:
+    """Synthetic division of (..., N) coefficients by (x - z), batched.
+
+    Transcribes div_polynomial_mut (polynomial.rs:155-195): quotient
+    q[i] = p[i+1] + z*q[i+1], top coefficient zeroed. The scan is
+    degree-agnostic (zero top coefficients keep the carry at zero).
+    Frames where `active` is False are left untouched.
+    """
+    N = c.re.shape[-1]
+    batch = c.re.shape[:-1]
+    dt = c.re.dtype
+    carry = C(jnp.zeros(batch, dtype=dt), jnp.zeros(batch, dtype=dt))
+    q_re = []
+    q_im = []
+    for i in range(N - 2, -1, -1):
+        carry = cadd(C(c.re[..., i + 1], c.im[..., i + 1]), cmul(z, carry))
+        q_re.append(carry.re)
+        q_im.append(carry.im)
+    q_re.reverse()
+    q_im.reverse()
+    zeros = jnp.zeros(batch, dtype=dt)
+    new_re = jnp.stack(q_re + [zeros], axis=-1)
+    new_im = jnp.stack(q_im + [zeros], axis=-1)
+    act = active[..., None]
+    return C(jnp.where(act, new_re, c.re), jnp.where(act, new_im, c.im))
+
+
+def find_roots(c: C) -> tuple[C, jax.Array, jax.Array]:
+    """All roots of batched polynomials (polynomial.rs:92-152).
+
+    Args:
+      c: (..., N) coefficient pairs, index = power.
+
+    Returns:
+      (roots, count, status): roots (..., N) pairs with zeros past `count`;
+      count (...,) int32 = number of roots (== degree, with leading-zero
+      coefficients contributing zero roots as in polynomial.rs:103-106);
+      status (...,) int32 bitmask (POLY_ZERO_DEGREE, POLY_DIV_ZERO).
+    """
+    re = jnp.asarray(c.re)
+    im = jnp.asarray(c.im)
+    c = C(re, im)
+    N = re.shape[-1]
+    batch = re.shape[:-1]
+    dt = re.dtype
+
+    deg = degree(c)
+    low = off_low(c)
+    status = jnp.where(deg < 1, errors.POLY_ZERO_DEGREE, 0).astype(jnp.int32)
+    m0 = deg - low  # live degree to factor
+
+    # The reference indexes its compacted workspace with uncompacted indices
+    # (polynomial.rs:110-112), which panics for off_low > 0; the *intended*
+    # semantics (polynomial.rs:103-106) are `low` zero roots plus the roots of
+    # the low-shifted polynomial. We implement the intended semantics: shift
+    # the x^low factor out, then deflate.
+    idx0 = jnp.arange(N)
+    src = jnp.clip(idx0 + low[..., None], 0, N - 1)
+    in_range = (idx0 + low[..., None]) < N
+    work = C(
+        jnp.where(in_range, jnp.take_along_axis(jnp.broadcast_to(re, batch + (N,)), src, axis=-1), 0),
+        jnp.where(in_range, jnp.take_along_axis(jnp.broadcast_to(im, batch + (N,)), src, axis=-1), 0),
+    )
+    roots_re = jnp.zeros(batch + (N,), dtype=dt)
+    roots_im = jnp.zeros(batch + (N,), dtype=dt)
+
+    start = C(jnp.asarray(-2.0, dtype=dt), jnp.asarray(-2.0, dtype=dt))
+    # Laguerre's n is the workspace slice length minus one — the *initial*
+    # live degree — held constant through deflation (polynomial.rs quirk).
+    n_lag = m0.astype(dt)
+
+    idx = jnp.arange(N)
+    max_deflations = max(N - 3, 0)
+    for it in range(max_deflations):
+        active = (it < m0 - 2) & (status == 0)
+        z = laguerre(work, start, n_lag=n_lag)
+        # div by zero root -> reference errors out (polynomial.rs:192)
+        div_zero = active & (z.re == 0) & (z.im == 0)
+        status = jnp.where(div_zero, status | errors.POLY_DIV_ZERO, status)
+        pos = low + it
+        sel = active[..., None] & (idx == pos[..., None])
+        roots_re = jnp.where(sel, z.re[..., None], roots_re)
+        roots_im = jnp.where(sel, z.im[..., None], roots_im)
+        work = _deflate(work, z, active)
+
+    # Tails. After deflation the live quadratic/linear sits at indices 0..2.
+    c0 = C(work.re[..., 0], work.im[..., 0])
+    c1_ = C(work.re[..., 1], work.im[..., 1])
+    c2 = C(work.re[..., 2], work.im[..., 2]) if N >= 3 else C(
+        jnp.zeros(batch, dtype=dt), jnp.zeros(batch, dtype=dt)
+    )
+
+    zri = low + jnp.maximum(m0 - 2, 0)
+
+    # Quadratic: (x +/- d) / (2 c2), d = sqrt(c1^2 - 4 c2 c0), x = -c1.
+    a2 = cadd(c2, c2)
+    four = C(jnp.full(batch, 4.0, dtype=dt), jnp.zeros(batch, dtype=dt))
+    d = csqrt(csub(cmul(c1_, c1_), cmul(cmul(four, c2), c0)))
+    xq = cneg(c1_)
+    rq1 = cdiv(cadd(xq, d), a2)
+    rq2 = cdiv(csub(xq, d), a2)
+
+    # Linear: -c0 / c1.
+    rl = cdiv(cneg(c0), c1_)
+
+    is_quad = (m0 >= 2) & (status & errors.POLY_ZERO_DEGREE == 0)
+    is_lin = (m0 == 1) & (status & errors.POLY_ZERO_DEGREE == 0)
+
+    sel1 = (idx == zri[..., None]) & is_quad[..., None]
+    sel2 = (idx == (zri + 1)[..., None]) & is_quad[..., None]
+    sel_l = (idx == zri[..., None]) & is_lin[..., None]
+    roots_re = jnp.where(sel1, rq1.re[..., None], roots_re)
+    roots_im = jnp.where(sel1, rq1.im[..., None], roots_im)
+    roots_re = jnp.where(sel2, rq2.re[..., None], roots_re)
+    roots_im = jnp.where(sel2, rq2.im[..., None], roots_im)
+    roots_re = jnp.where(sel_l, rl.re[..., None], roots_re)
+    roots_im = jnp.where(sel_l, rl.im[..., None], roots_im)
+
+    count = deg.astype(jnp.int32)
+    return C(roots_re, roots_im), count, status
