@@ -1,0 +1,286 @@
+"""McCandless formant slot tracking + the find_formants pipeline.
+
+Reference: `EstimateFormants` (``/root/reference/src/spectrum.rs:225-334``),
+`FormantExtractor` (spectrum.rs:336-369) and `find_formants`
+(``/root/reference/src/lib.rs:40-116``).
+
+TPU design: the per-frame slot-assignment procedure is branchy but operates on
+tiny fixed-size state (6 slots x 32 resonances), so it transcribes exactly
+into masked vector ops; the frame-to-frame dependency (estimates carry) is a
+`jax.lax.scan`. Everything upstream of the scan — resampling, windowing, Burg
+LPC, Laguerre roots, resonance mapping — is frame-parallel and runs batched
+before the scan, so the sequential part of the whole formant pipeline is a
+6-lane state update per frame, not the LPC/root math.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from voxtpu import errors
+from voxtpu.cplx import C
+from voxtpu.lpc import burg
+from voxtpu.resonance import resonances_from_roots, sort_and_pack_resonances
+from voxtpu.roots import find_roots
+from voxtpu.windows import hann
+
+__all__ = [
+    "MAX_RESONANCES",
+    "MALE_FORMANT_ESTIMATES",
+    "FEMALE_FORMANT_ESTIMATES",
+    "estimate_formants_step",
+    "formant_tracker",
+    "find_formants",
+    "resample_linear",
+]
+
+NSLOTS = 6  # FormantSlots = [Option<Resonance>; 6] (spectrum.rs:228)
+MAX_RESONANCES = 32  # lib.rs:26
+MALE_FORMANT_ESTIMATES = (320.0, 1440.0, 2760.0, 3200.0)  # lib.rs:27
+FEMALE_FORMANT_ESTIMATES = (480.0, 1760.0, 3200.0, 3520.0)  # lib.rs:28
+
+
+def _set_slot(arr: jax.Array, j: int, value: jax.Array, mask: jax.Array) -> jax.Array:
+    """arr[..., j] = value where mask (batched)."""
+    return arr.at[..., j].set(jnp.where(mask, value, arr[..., j]))
+
+
+def estimate_formants_step(
+    est_freq: jax.Array,
+    est_bw: jax.Array,
+    res_freq: jax.Array,
+    res_bw: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """One McCandless update (spectrum.rs:232-333), batched over leading axes.
+
+    Args:
+      est_freq/est_bw: (..., L) previous formant estimates.
+      res_freq/res_bw: (..., R) this frame's resonances — the *full* candidate
+        buffer, including any zero-valued tail entries; the reference passes
+        its whole `[Resonance; 32]` buffer (lib.rs:114) and zero entries do
+        participate in nearest-match and step-4 fills.
+
+    Returns updated (est_freq, est_bw).
+    """
+    L = est_freq.shape[-1]
+    R = res_freq.shape[-1]
+    batch = est_freq.shape[:-1]
+    dt = est_freq.dtype
+    ns = min(L, NSLOTS)
+
+    # --- Step 2: nearest resonance per estimate slot (spectrum.rs:234-245).
+    dist = jnp.abs(res_freq[..., None, :] - est_freq[..., :ns, None])  # (..., ns, R)
+    nearest = jnp.argmin(dist, axis=-1)  # first-win on ties, like the fold
+    sf = jnp.take_along_axis(res_freq, nearest.reshape(batch + (ns,)), axis=-1)
+    sb = jnp.take_along_axis(res_bw, nearest.reshape(batch + (ns,)), axis=-1)
+    if ns < NSLOTS:
+        pad = [(0, 0)] * len(batch) + [(0, NSLOTS - ns)]
+        sf = jnp.pad(sf, pad)
+        sb = jnp.pad(sb, pad)
+    sv = jnp.broadcast_to(
+        jnp.arange(NSLOTS) < ns, batch + (NSLOTS,)
+    )
+
+    # --- Step 3: dedup (spectrum.rs:250-272). Sequential over 6 slots with a
+    # running pointer w to the previous surviving slot.
+    w = jnp.zeros(batch, dtype=jnp.int32)
+    unassigned = jnp.zeros(batch, dtype=bool)
+    slot_idx = jnp.arange(NSLOTS)
+    for r in range(1, NSLOTS):
+        vr_f = sf[..., r]
+        vr_b = sb[..., r]
+        vr_valid = sv[..., r]
+        sw_f = jnp.take_along_axis(sf, w[..., None], axis=-1)[..., 0]
+        sw_b = jnp.take_along_axis(sb, w[..., None], axis=-1)[..., 0]
+        same = vr_valid & (vr_f == sw_f) & (vr_b == sw_b)
+
+        est_r = est_freq[..., min(r, L - 1)]
+        est_w = jnp.take_along_axis(est_freq, jnp.minimum(w, L - 1)[..., None], axis=-1)[..., 0]
+        closer_r = jnp.abs(vr_f - est_r) < jnp.abs(vr_f - est_w)
+
+        inval_w = same & closer_r
+        inval_r = same & ~closer_r
+        sv = jnp.where((slot_idx == w[..., None]) & inval_w[..., None], False, sv)
+        sv = _set_slot(sv, r, jnp.zeros(batch, dtype=bool), inval_r)
+        unassigned = unassigned | same
+        w = jnp.where(inval_w | (~same & vr_valid), r, w)
+
+    # --- Step 4: fill empty slots with unassigned peaks (spectrum.rs:274-310).
+    for j in range(R):
+        pf = res_freq[..., j]
+        pb = res_bw[..., j]
+        contains = jnp.any(sv & (sf == pf[..., None]) & (sb == pb[..., None]), axis=-1)
+        can = unassigned & ~contains
+
+        if j < NSLOTS:
+            b1 = can & ~sv[..., j]
+            sf = _set_slot(sf, j, pf, b1)
+            sb = _set_slot(sb, j, pb, b1)
+            sv = _set_slot(sv, j, jnp.ones(batch, dtype=bool), b1)
+            can = can & ~b1
+
+        if 0 < j < NSLOTS:
+            b2 = can & ~sv[..., j - 1]
+            # swap(j, j-1) then slots[j] = peak
+            oldf, oldb, oldv = sf[..., j], sb[..., j], sv[..., j]
+            sf = _set_slot(sf, j - 1, oldf, b2)
+            sb = _set_slot(sb, j - 1, oldb, b2)
+            sv = _set_slot(sv, j - 1, oldv, b2)
+            sf = _set_slot(sf, j, pf, b2)
+            sb = _set_slot(sb, j, pb, b2)
+            sv = _set_slot(sv, j, jnp.ones(batch, dtype=bool), b2)
+            can = can & ~b2
+
+        if j + 1 < NSLOTS:
+            b3 = can & ~sv[..., j + 1]
+            oldf, oldb, oldv = sf[..., j], sb[..., j], sv[..., j]
+            sf = _set_slot(sf, j + 1, oldf, b3)
+            sb = _set_slot(sb, j + 1, oldb, b3)
+            sv = _set_slot(sv, j + 1, oldv, b3)
+            sf = _set_slot(sf, j, pf, b3)
+            sb = _set_slot(sb, j, pb, b3)
+            sv = _set_slot(sv, j, jnp.ones(batch, dtype=bool), b3)
+
+    # --- Step 5: sort, None-slots first, then ascending frequency
+    # (spectrum.rs:312-324). Stable, matching Rust's stable sort_by.
+    key = jnp.where(sv, sf, -jnp.inf)
+    order = jnp.argsort(key, axis=-1, stable=True)
+    sf = jnp.take_along_axis(sf, order, axis=-1)
+    sb = jnp.take_along_axis(sb, order, axis=-1)
+    sv = jnp.take_along_axis(sv, order, axis=-1)
+
+    # --- Write-back: winners (valid, freq > 0) overwrite the leading
+    # estimates in order; remaining estimates keep old values
+    # (spectrum.rs:326-332).
+    winner = sv & (sf > 0)
+    worder = jnp.argsort(~winner, axis=-1, stable=True)
+    wf = jnp.take_along_axis(sf, worder, axis=-1)
+    wb = jnp.take_along_axis(sb, worder, axis=-1)
+    nw = jnp.sum(winner, axis=-1)
+    if L > NSLOTS:
+        pad = [(0, 0)] * len(batch) + [(0, L - NSLOTS)]
+        wf = jnp.pad(wf, pad)
+        wb = jnp.pad(wb, pad)
+    take = jnp.arange(L) < nw[..., None]
+    new_f = jnp.where(take, wf[..., :L], est_freq)
+    new_b = jnp.where(take, wb[..., :L], est_bw)
+    return new_f.astype(dt), new_b.astype(dt)
+
+
+def formant_tracker(
+    res_freq: jax.Array,
+    res_bw: jax.Array,
+    est_freq: jax.Array,
+    est_bw: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Scan the McCandless step over the frame axis.
+
+    Reference: `FormantExtractor` iterator (spectrum.rs:336-369); the carry is
+    the estimates vector, outputs are the per-frame estimate snapshots.
+
+    Args:
+      res_freq/res_bw: (F, R) per-frame resonances.
+      est_freq/est_bw: (L,) starting estimates.
+
+    Returns (F, L) tracked formant frequencies and bandwidths.
+    """
+
+    def step(carry, frame):
+        ef, eb = carry
+        rf, rb = frame
+        ef, eb = estimate_formants_step(ef, eb, rf, rb)
+        return (ef, eb), (ef, eb)
+
+    (_, _), (freqs, bws) = jax.lax.scan(step, (est_freq, est_bw), (res_freq, res_bw))
+    return freqs, bws
+
+
+def resample_linear(x: jax.Array, ratio: float, out_len: int) -> jax.Array:
+    """Linear-interpolation resampling, matching `sample::interpolate::Linear`
+    + `Converter::scale_sample_hz` as used in lib.rs:57-64.
+
+    Output sample k sits at input position k/ratio; positions past the end
+    interpolate toward equilibrium (0), as `signal::from_iter` yields zeros
+    after exhaustion.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    pos = jnp.arange(out_len, dtype=x.dtype) / jnp.asarray(ratio, dtype=x.dtype)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - i0.astype(x.dtype)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, 2)]
+    xp = jnp.pad(x, pad)
+    left = jnp.take(xp, i0, axis=-1)
+    right = jnp.take(xp, i0 + 1, axis=-1)
+    return left + (right - left) * frac
+
+
+def find_formants(
+    frames: jax.Array,
+    sample_rate: float,
+    n_coeffs: int,
+    resample_ratio: float = 1.0,
+    estimates=MALE_FORMANT_ESTIMATES,
+    estimate_bandwidth: float = 1.0,
+    max_resonances: int = MAX_RESONANCES,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Full formant pipeline over the frames of one recording.
+
+    Reference: `vox_box::find_formants` (lib.rs:40-116), which the caller
+    loops per frame, threading the estimates buffer through. Here the
+    frame-parallel work (resample -> Hann window -> Burg LPC -> monic
+    polynomial -> Laguerre roots -> resonances) runs batched over all frames
+    at once; only the 6-slot McCandless update scans sequentially.
+
+    Args:
+      frames: (F, n) frames of one file (rectangular framing; windowing
+        happens inside, as in lib.rs:66-70).
+      sample_rate: sample rate *after* resampling is NOT applied — the
+        reference passes the original rate and the resample only changes the
+        analysis bandwidth implicitly (tests/lib.rs:37, main.rs:79 pass the
+        new rate with ratio!=1; pass whatever the reference caller passes).
+      n_coeffs: Burg LPC order.
+      resample_ratio: linear resample ratio (1.0 = skip, exact reference
+        check lib.rs:57).
+
+    Returns:
+      (freqs (F, L), bws (F, L), status (F,)) — per-frame tracked formants
+      and status bitmask.
+    """
+    frames = jnp.asarray(frames)
+    if frames.ndim == 1:
+        frames = frames[None]
+    F, n = frames.shape
+    dt = frames.dtype
+
+    if resample_ratio != 1.0:
+        out_len = int(math.ceil(resample_ratio * n))
+        buf = resample_linear(frames, resample_ratio, out_len)
+    else:
+        out_len = n
+        buf = frames
+
+    window = jnp.asarray(hann(out_len), dtype=dt)
+    buf = buf * window
+
+    coeffs, status = burg(buf, n_coeffs)
+
+    # Monic complex polynomial [1, a1..an] reversed (lib.rs:76-91):
+    # index k holds the coefficient of z^k; top coefficient is 1.
+    ones = jnp.ones((F, 1), dtype=dt)
+    poly_re = jnp.concatenate([coeffs[:, ::-1], ones], axis=-1)
+    poly_im = jnp.zeros_like(poly_re)
+
+    roots, _count, rstatus = find_roots(C(poly_re, poly_im))
+    status = status | rstatus
+
+    rfreq, rbw, valid = resonances_from_roots(roots, sample_rate, require_im_positive=True)
+    rfreq, rbw = sort_and_pack_resonances(rfreq, rbw, valid, max_resonances)
+
+    est_f = jnp.asarray(estimates, dtype=dt)
+    est_b = jnp.full_like(est_f, estimate_bandwidth)
+    freqs, bws = formant_tracker(rfreq, rbw, est_f, est_b)
+    return freqs, bws, status
