@@ -1,0 +1,516 @@
+"""Scalar NumPy oracle: a direct, per-frame transcription of the reference
+semantics (/root/reference/src/*.rs), used as the ground truth for
+frame-for-frame parity tests of the batched JAX implementation on real audio.
+
+This is intentionally slow, allocation-happy Python — its only job is to
+mirror the Rust control flow exactly, quirks included. Each function cites the
+reference lines it transcribes.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+# --- waves.rs ---------------------------------------------------------------
+
+def preemphasis(x: np.ndarray, factor: float) -> np.ndarray:
+    """waves.rs:86-96 (backwards, uses updated following sample)."""
+    x = x.copy()
+    f = 2.0 * math.pi * factor
+    last = x[-1]
+    for i in range(len(x) - 2, -1, -1):
+        x[i] = x[i] + last * f
+        last = x[i]
+    return x
+
+
+def normalize(x: np.ndarray) -> np.ndarray:
+    """waves.rs:68-76 (divide by max |x|)."""
+    return x / np.max(np.abs(x))
+
+
+# --- window tables ----------------------------------------------------------
+
+def hanning(n: int) -> np.ndarray:
+    """sample crate Hanning at phase i/n (lib.rs:66-70 convention)."""
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+
+
+def hanning_lag(n: int) -> np.ndarray:
+    """periodic.rs:236-248."""
+    phi = np.arange(n) / n
+    v = 2.0 * np.pi * phi
+    return (1.0 - phi) * (2.0 / 3.0 + np.cos(v) / 3.0) + np.sin(v) / (2.0 * np.pi)
+
+
+# --- periodic.rs ------------------------------------------------------------
+
+def autocorrelate(x: np.ndarray, n_coeffs: int) -> np.ndarray:
+    """periodic.rs:276-289 (seed-term quirk)."""
+    out = np.empty(n_coeffs, dtype=np.float64)
+    for lag in range(n_coeffs):
+        acc = x[0]
+        for i in range(1, len(x) - lag):
+            acc = acc + x[i] * x[i + lag]
+        out[lag] = acc
+    return out
+
+
+def interpolate_sinc(y: np.ndarray, offset: int, nx: int, x: float, max_depth: int) -> float:
+    """periodic.rs:29-87, verbatim (including clipping and clamped indexing)."""
+    nl = int(math.floor(x))
+    nr = nl + 1
+    phil = x - nl
+    phir = 1.0 - phil
+    result = 0.0
+
+    if nx < 1:
+        return float("nan")
+    if x > nx:
+        return float(y[offset + nx - 1])
+    if x < 0.0:
+        return float(y[0])
+    if abs(x - nl) < 1.0e-10:
+        return float(y[offset + nl])
+    if abs(x - nr) < 1.0e-10:
+        return float(y[offset + nr])
+
+    if (offset + nr) < max_depth:
+        max_depth = 0 if (offset + nr) < 0 else offset + nr
+    if (offset + nl + max_depth) >= nx:
+        max_depth = nx - offset + nl - 1
+
+    for n in range(max_depth + 1):
+        a = math.pi * (phil + n)
+        lag_val = offset + nr - n
+        if lag_val < 0:
+            lag_val = 0
+        r_lag = float(y[lag_val])
+        first = math.sin(a) / a
+        second = 0.5 + 0.5 * math.cos(a / (phil + max_depth))
+        result += r_lag * first * second
+
+        a = math.pi * (phir + n)
+        lag_val = offset + nl + n
+        if lag_val < 0:
+            lag_val = 0
+        if lag_val >= len(y):
+            lag_val = len(y) - 1
+        r_lag = float(y[lag_val])
+        first = math.sin(a) / a
+        second = 0.5 + 0.5 * math.cos(a / (phir + max_depth))
+        result += r_lag * first * second
+
+    return result
+
+
+def brent_maximize(f, bounds, tol: float) -> tuple[float, float]:
+    """periodic.rs:103-188. Returns (x, fx)."""
+    a, b = bounds
+    golden = 1.0 - 0.6180339887498948482045868343656381177203091798057628621
+    eps = np.finfo(np.float64).eps
+    sqrt_eps = math.sqrt(eps)
+    itermax = 60
+
+    assert tol > 0 and a < b
+    v = a + golden * (b - a)
+    fv = f(v)
+    x = v
+    w = v
+    fx = fv
+    fw = fv
+
+    for _ in range(1, itermax + 1):
+        rng = b - a
+        middle = (a + b) * 0.5
+        tol_act = sqrt_eps * abs(x) + tol / 3.0
+
+        if abs(x - middle) + rng * 0.5 <= 2.0 * tol_act:
+            return x, fx
+
+        new_step = golden * ((b - x) if x < middle else (a - x))
+
+        if abs(x - w) >= tol_act:
+            t = (x - w) * (fx - fv)
+            q = (x - v) * (fx - fw)
+            p = (x - v) * q - (x - w) * t
+            q = 2.0 * (q - t)
+            if q > 0.0:
+                p = -p
+            else:
+                q = -q
+            if (
+                abs(p) < abs(new_step * q)
+                and p > q * (a - x + 2.0 * tol_act)
+                and p < q * (b - x - 2.0 * tol_act)
+            ):
+                new_step = p / q
+
+        if abs(new_step) < tol_act:
+            new_step = tol_act if new_step > 0 else -tol_act
+
+        t = x + new_step
+        ft = f(t)
+        if ft <= fx:
+            if t < x:
+                b = x
+            else:
+                a = x
+            v, w, x = w, x, t
+            fv, fw, fx = fw, fx, ft
+        else:
+            if t < x:
+                a = t
+            else:
+                b = t
+            if ft <= fw or abs(w - x) < eps:
+                v, w = w, t
+                fv, fw = fw, ft
+            elif ft <= fv or abs(v - x) < eps or abs(v - w) < eps:
+                v = t
+                fv = ft
+    return x, fx
+
+
+def improve_extremum_sinc(y, offset, nx, ixmid, max_depth, is_max=True):
+    """periodic.rs:192-230, Sinc branch."""
+    if ixmid == 0.0:
+        return 0.0, float(y[0])
+    if ixmid >= nx:
+        return float(nx), float(y[nx - 1])
+
+    def f(t):
+        out = interpolate_sinc(y, offset, nx, t, max_depth)
+        return out if is_max else -out
+
+    return brent_maximize(f, (ixmid - 1.0, ixmid + 1.0), 1e-10)
+
+
+def local_maxima(y: np.ndarray):
+    """periodic.rs:362-375: 3-windows, strict, center index starts at 1."""
+    out = []
+    for i in range(len(y) - 2):
+        if y[i] < y[i + 1] and y[i + 2] < y[i + 1]:
+            out.append((i + 1, y[i + 1]))
+    return out
+
+
+def pitch(
+    x: np.ndarray,
+    sample_rate: float,
+    threshold: float,
+    local_peak: float,
+    global_peak: float,
+    fmin: float,
+    fmax: float,
+):
+    """periodic.rs:396-455 (Boersma candidates). Returns [(freq, strength)],
+    sorted by strength descending. local_peak/global_peak are accepted but
+    unused, as in the reference (periodic.rs:357 vestigial params)."""
+    n = len(x)
+    window_lag = hanning_lag(n)
+    self_lag = autocorrelate(x, n)
+    self_lag = normalize(self_lag)
+    self_lag = self_lag / window_lag
+    self_lag = np.concatenate([self_lag, np.zeros(n)])
+
+    interpolation_depth = 0.5
+    brent_ixmax = int(math.floor(interpolation_depth * n))
+
+    maxima = []
+    for (ix, _val) in local_maxima(self_lag[0:brent_ixmax]):
+        peak = self_lag[ix]
+        peak_rev = self_lag[ix - 1]
+        peak_fwd = self_lag[ix + 1]
+        dr = 0.5 * (peak_fwd - peak_rev)
+        d2r = 2.0 * peak - (peak_rev - peak_fwd)
+        freq = sample_rate / (ix + dr / d2r)
+
+        offset = -brent_ixmax - 1
+        nx = brent_ixmax - offset
+        nval = sample_rate / freq - offset
+        strn = interpolate_sinc(self_lag, offset, nx, nval, 30)
+        if strn > 1.0:
+            strn = 1.0 / strn
+        maxima.append((freq, strn))
+
+    maxima = [m for m in maxima if m[0] == 0.0 or (fmin < m[0] < fmax)]
+
+    refined = []
+    for (freq, _strn) in maxima:
+        offset = -brent_ixmax - 1
+        nx = brent_ixmax - offset
+        nval = sample_rate / freq - offset
+        xmid, ymid = improve_extremum_sinc(self_lag, offset, nx, nval, 1200, True)
+        xmid += offset
+        if ymid > 1.0:
+            ymid = 1.0 / ymid
+        refined.append((sample_rate / xmid, ymid))
+
+    refined.append((0.0, threshold))
+    refined.sort(key=lambda p: -p[1])
+    return refined
+
+
+# --- spectrum.rs ------------------------------------------------------------
+
+def lpc_levinson(ac: np.ndarray, n_coeffs: int) -> np.ndarray:
+    """spectrum.rs:63-84."""
+    a = np.zeros(n_coeffs + 1)
+    kc = np.zeros(n_coeffs)
+    tmp = np.zeros(n_coeffs)
+    err = ac[0]
+    a[0] = 1.0
+    for i in range(1, n_coeffs + 1):
+        acc = ac[i]
+        for j in range(1, i):
+            acc += a[j] * ac[i - j]
+        kc[i - 1] = -acc / err
+        a[i] = kc[i - 1]
+        for j in range(n_coeffs):
+            tmp[j] = a[j]
+        for j in range(1, i):
+            a[j] = a[j] + kc[i - 1] * tmp[i - j]
+        err *= 1.0 - kc[i - 1] ** 2
+    return a
+
+
+def lpc_burg(x: np.ndarray, p: int) -> np.ndarray:
+    """spectrum.rs:101-146."""
+    n = len(x)
+    b1 = np.zeros(n)
+    b2 = np.zeros(n)
+    aa = np.zeros(p)
+    coeffs = np.zeros(p)
+    b1[0] = x[0]
+    b2[n - 2] = x[n - 1]
+    for j in range(2, n):
+        b1[j - 1] = x[j - 1]
+        b2[j - 2] = x[j - 1]
+    for i in range(1, p + 1):
+        num = 0.0
+        denum = 0.0
+        for j in range(1, n - i + 1):
+            num += b1[j - 1] * b2[j - 1]
+            denum += b1[j - 1] ** 2 + b2[j - 1] ** 2
+        if denum <= 0:
+            raise ArithmeticError("Denum was <= 0.0")
+        coeffs[i - 1] = 2.0 * num / denum
+        for j in range(1, i):
+            coeffs[j - 1] = aa[j - 1] - coeffs[i - 1] * aa[i - j - 1]
+        if i < p:
+            for j in range(1, i + 1):
+                aa[j - 1] = coeffs[j - 1]
+            for j in range(1, n - i):
+                b1[j - 1] = b1[j - 1] - aa[i - 1] * b2[j - 1]
+                b2[j - 1] = b2[j] - aa[i - 1] * b1[j]
+    return -coeffs
+
+
+def resonance_from_root(root: complex, sample_rate: float):
+    """spectrum.rs:166-192. Returns (freq, bw) or None."""
+    freq_mul = sample_rate / (2.0 * math.pi)
+    if root.imag >= 0.0:
+        r = abs(root)
+        theta = math.atan2(root.imag, root.real)
+        if r > 1.0:
+            z = 1.0 / root.conjugate()
+            r = abs(z)
+            theta = math.atan2(z.imag, z.real)
+        freq = freq_mul * theta
+        bw = -2.0 * freq_mul * math.log(r)
+        safety = 50.0
+        nyq = sample_rate * 0.5
+        if safety < freq < nyq - safety:
+            return (freq, bw)
+    return None
+
+
+def estimate_formants(estimates: list, resonances: list) -> None:
+    """spectrum.rs:232-333. `estimates` is a list of (freq, bw), mutated in
+    place. `resonances` is the full candidate list (zeros included)."""
+    slots = [None] * 6
+
+    # Step 2
+    for s, est in enumerate(estimates):
+        if s >= 6:
+            break
+        best = resonances[0]
+        best_d = abs(resonances[0][0] - est[0])
+        for item in resonances[1:]:
+            d = abs(item[0] - est[0])
+            if d < best_d:
+                best, best_d = item, d
+        slots[s] = best
+
+    # Step 3
+    w = 0
+    has_unassigned = False
+    for r in range(1, 6):
+        if slots[r] is not None:
+            v = slots[r]
+            if v == slots[w]:
+                if abs(v[0] - estimates[r][0]) < abs(v[0] - estimates[w][0]):
+                    slots[w] = None
+                    has_unassigned = True
+                    w = r
+                else:
+                    slots[r] = None
+                    has_unassigned = True
+            else:
+                w = r
+
+    # Step 4
+    if has_unassigned:
+        for j in range(len(resonances)):
+            peak = resonances[j]
+            if peak in [s for s in slots if s is not None]:
+                continue
+            if j < 6 and slots[j] is None:
+                slots[j] = peak
+                continue
+            if 0 < j < 6 and slots[j - 1] is None:
+                slots[j], slots[j - 1] = slots[j - 1], slots[j]
+                slots[j] = peak
+                continue
+            if j + 1 < 6 and slots[j + 1] is None:
+                slots[j], slots[j + 1] = slots[j + 1], slots[j]
+                slots[j] = peak
+                continue
+
+    # Step 5: sort None-first then by freq (stable).
+    slots.sort(key=lambda s: (-math.inf if s is None else s[0]))
+
+    winners = [s for s in slots if s is not None and s[0] > 0.0]
+    for k, winner in enumerate(winners):
+        if k >= len(estimates):
+            break
+        estimates[k] = winner
+
+
+# --- polynomial.rs ----------------------------------------------------------
+
+def laguerre(coeffs: np.ndarray, start: complex) -> complex:
+    """polynomial.rs:34-72. `n` is len-1 of the (fixed) slice."""
+    n = len(coeffs) - 1
+    z = start
+    for _ in range(20):
+        abg = [coeffs[n], 0j, 0j]
+        for j in range(n - 1, -1, -1):
+            abg[2] = abg[2] * z + abg[1]
+            abg[1] = abg[1] * z + abg[0]
+            abg[0] = abg[0] * z + coeffs[j]
+        if abs(abg[0]) <= 1.0e-16:
+            return z
+        ca = -abg[1] / abg[0]
+        ca2 = ca * ca
+        cb = ca2 - (2.0 * abg[2]) / abg[0]
+        c1 = np.sqrt(((n - 1) * n) * cb - ca2)
+        cc1 = ca + c1
+        cc2 = ca - c1
+        cc = n / cc1 if abs(cc1) > abs(cc2) else n / cc2
+        z = z + cc
+    return z
+
+
+def find_roots(coeffs: np.ndarray) -> list:
+    """polynomial.rs:92-152 (off_low == 0 path, as exercised by the library)."""
+    c = np.asarray(coeffs, dtype=np.complex128).copy()
+    deg = 0
+    for i in range(len(c) - 1, -1, -1):
+        if c[i] != 0:
+            deg = i
+            break
+    assert deg >= 1, "zero degree"
+    assert c[0] != 0 or deg <= 1 or True  # off_low==0 in all library uses
+    m = deg
+    work = c[: deg + 1].copy()
+    roots = []
+    while m > 2:
+        z = laguerre(work, complex(-2.0, -2.0))
+        roots.append(z)
+        # synthetic division by (x - z): q[i] = p[i+1] + z*q[i+1]
+        q = np.zeros_like(work)
+        carry = 0j
+        for i in range(len(work) - 2, -1, -1):
+            carry = work[i + 1] + z * carry
+            q[i] = carry
+        work = q
+        work[-1] = 0
+        m -= 1
+    if m == 2:
+        a2 = work[2] + work[2]
+        d = np.sqrt(work[1] * work[1] - 4.0 * work[2] * work[0])
+        xq = -work[1]
+        roots.append((xq + d) / a2)
+        roots.append((xq - d) / a2)
+    elif m == 1:
+        roots.append(-work[0] / work[1])
+    return roots
+
+
+# --- lib.rs: find_formants --------------------------------------------------
+
+MAX_RESONANCES = 32
+MALE_FORMANT_ESTIMATES = [320.0, 1440.0, 2760.0, 3200.0]
+
+
+def resample_linear(x: np.ndarray, ratio: float, out_len: int) -> np.ndarray:
+    """sample::interpolate::Linear + Converter::scale_sample_hz (lib.rs:57-64)."""
+    xp = np.concatenate([x, [0.0, 0.0]])
+    out = np.empty(out_len)
+    for k in range(out_len):
+        p = k / ratio
+        i0 = int(math.floor(p))
+        frac = p - i0
+        out[k] = xp[i0] + (xp[i0 + 1] - xp[i0]) * frac
+    return out
+
+
+def find_formants_frame(
+    buf: np.ndarray,
+    sample_rate: float,
+    resample_ratio: float,
+    n_coeffs: int,
+    formants: list,
+) -> None:
+    """lib.rs:40-116 for one frame; `formants` [(f, bw)] mutated in place."""
+    if resample_ratio != 1.0:
+        out_len = int(math.ceil(resample_ratio * len(buf)))
+        buf = resample_linear(buf, resample_ratio, out_len)
+    else:
+        buf = buf.copy()
+
+    n = len(buf)
+    buf = buf * hanning(n)
+
+    coeffs = lpc_burg(buf, n_coeffs)
+
+    # [1, a1..an] reversed -> poly coeffs by power (lib.rs:76-91)
+    poly = np.zeros(n_coeffs + 1, dtype=np.complex128)
+    rev = list([1.0] + list(coeffs))[::-1]
+    for k, v in enumerate(rev):
+        poly[k] = v
+
+    roots = find_roots(poly)
+
+    resonances = [(0.0, 0.0)] * MAX_RESONANCES
+    count = 0
+    for root in roots:
+        if root.imag > 0.0:
+            res = resonance_from_root(root, sample_rate)
+            if res is not None:
+                resonances[count] = res
+                count += 1
+    rpos = 0
+    for i in range(MAX_RESONANCES - 1, -1, -1):
+        if resonances[i][0] != 0.0:
+            rpos = i
+            break
+    prefix = sorted(resonances[: rpos + 1], key=lambda r: r[0])
+    resonances = prefix + resonances[rpos + 1 :]
+
+    estimate_formants(formants, resonances)
