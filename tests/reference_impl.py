@@ -514,3 +514,50 @@ def find_formants_frame(
     resonances = prefix + resonances[rpos + 1 :]
 
     estimate_formants(formants, resonances)
+
+
+# --- spectrum.rs: MFCC --------------------------------------------------------
+
+def hz_to_mel(hz: float) -> float:
+    return 1125.0 * math.log1p(hz / 700.0)
+
+
+def mel_to_hz(mel: float) -> float:
+    return 700.0 * (math.exp(mel / 1125.0) - 1.0)
+
+
+def dct(signal: np.ndarray) -> np.ndarray:
+    """spectrum.rs:391-398."""
+    n = len(signal)
+    out = np.zeros(n)
+    for k in range(n):
+        acc = 0.0
+        for m in range(n):
+            acc += signal[m] * math.cos(math.pi * k * (2.0 * m + 1.0) / (2.0 * n))
+        out[k] = 2.0 * acc
+    return out
+
+
+def mfcc(x: np.ndarray, num_coeffs: int, freq_bounds: tuple, sample_rate: float) -> np.ndarray:
+    """spectrum.rs:410-440, verbatim (norm_sqr/norm slope quirk, log clamp)."""
+    n = len(x)
+    mel_range = hz_to_mel(freq_bounds[1]) - hz_to_mel(freq_bounds[0])
+    points = [(i / num_coeffs) * mel_range + hz_to_mel(freq_bounds[0]) for i in range(num_coeffs + 2)]
+    bins = [int(math.floor((n + 1) * mel_to_hz(p) / sample_rate)) for p in points]
+
+    spectrum = np.fft.fft(x)  # full complex FFT (rustfft, forward)
+
+    energies = []
+    for w in range(len(bins) - 2):
+        b0, b1, b2 = bins[w], bins[w + 1], bins[w + 2]
+        up = b1 - b0
+        up_sum = 0.0
+        for i, b in enumerate(range(b0, b1)):
+            up_sum += abs(abs(spectrum[b]) ** 2) * (i / up)
+        down = b2 - b1
+        down_sum = 0.0
+        for i, b in enumerate(range(b1, b2)):
+            down_sum += abs(abs(spectrum[b])) * (i / down)
+        e = math.log10(up_sum + down_sum) if (up_sum + down_sum) > 0 else -math.inf
+        energies.append(max(e, 1.0e-10))
+    return dct(np.asarray(energies))
