@@ -137,7 +137,7 @@ def brent_maximize(f, bounds, tol: float) -> tuple[float, float]:
             t = (x - w) * (fx - fv)
             q = (x - v) * (fx - fw)
             p = (x - v) * q - (x - w) * t
-            q = 2.0 * (q - t)
+            q = 2.0 * q - t  # sic: periodic.rs:140 (textbook Brent uses 2(q-t))
             if q > 0.0:
                 p = -p
             else:

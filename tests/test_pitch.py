@@ -1,0 +1,101 @@
+"""Parity tests for voxtpu.pitch against the reference semantics."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from voxtpu.pitch import pitch_frames, best_pitch
+from voxtpu.sinc import interpolate_sinc
+from voxtpu.windows import hann
+
+import reference_impl as ref
+from util import sine_hz
+
+
+def test_pitch_150hz_sine_golden():
+    # periodic.rs:484-499 (test_pitch): 150 Hz sine @44.1kHz, bin 2048,
+    # Hann-windowed, candidates (100, 500): |f0 - 150| < 1e-2.
+    bin_ = 2048
+    x = sine_hz(150.0, 44100.0, bin_ + 1)[:bin_]
+    frame = jnp.asarray(x * np.asarray(hann(bin_)))
+    freq, strength, valid = pitch_frames(
+        frame[None, :], 44100.0, threshold=0.2, fmin=100.0, fmax=500.0
+    )
+    f0, s0 = best_pitch(freq, strength, valid)
+    assert abs(float(f0[0]) - 150.0) < 1e-2, float(f0[0])
+
+
+def test_interpolate_sinc_matches_oracle():
+    rng = np.random.default_rng(0)
+    n = 128
+    bi = n // 2
+    y = rng.standard_normal(2 * n)
+    offset = -bi - 1
+    nx = bi - offset
+    xs = np.asarray([bi + 5.3, bi + 20.75, bi + 40.1, bi + 2.0 + 1e-12, bi + 63.999])
+    got = np.asarray(
+        interpolate_sinc(jnp.asarray(y)[None, :], offset, nx, jnp.asarray(xs)[None, :], 30,
+                         max_x=float(nx))
+    )[0]
+    for x, g in zip(xs, got):
+        e = ref.interpolate_sinc(y, offset, nx, float(x), 30)
+        np.testing.assert_allclose(g, e, rtol=1e-9, atol=1e-12)
+
+
+def test_pitch_candidates_match_oracle_sine():
+    bin_ = 512
+    x = sine_hz(220.0, 11025.0, bin_) * np.asarray(hann(bin_))
+    exp = ref.pitch(x, 11025.0, 0.2, 1.0, 1.0, 100.0, 500.0)
+    freq, strength, valid = pitch_frames(
+        jnp.asarray(x)[None, :], 11025.0, threshold=0.2, fmin=100.0, fmax=500.0
+    )
+    got_f = np.asarray(freq)[0][np.asarray(valid)[0]]
+    got_s = np.asarray(strength)[0][np.asarray(valid)[0]]
+    assert len(got_f) == len(exp)
+    for (ef, es), gf, gs in zip(exp, got_f, got_s):
+        if ef == 0.0:
+            assert gf == 0.0 and abs(gs - es) < 1e-12
+        else:
+            np.testing.assert_allclose(gf, ef, rtol=1e-6)
+            np.testing.assert_allclose(gs, es, rtol=1e-6, atol=1e-9)
+
+
+def test_pitch_candidates_match_oracle_speech():
+    import os
+    from voxtpu.io_wav import read_wav
+    from voxtpu.frame import frame_signal
+
+    wav = read_wav(os.path.join(os.path.dirname(__file__), "fixtures", "short_sample.wav"))
+    bin_, hop = 512, 256
+    frames = np.asarray(frame_signal(jnp.asarray(wav.samples), bin_, hop, window="hanning"))
+    sr = float(wav.sample_rate)
+
+    freq, strength, valid = pitch_frames(
+        jnp.asarray(frames), sr, threshold=0.2, fmin=60.0, fmax=500.0
+    )
+    freq = np.asarray(freq)
+    strength = np.asarray(strength)
+    valid = np.asarray(valid)
+
+    for i in range(frames.shape[0]):
+        exp = ref.pitch(frames[i], sr, 0.2, 1.0, 1.0, 60.0, 500.0)
+        got_f = freq[i][valid[i]]
+        got_s = strength[i][valid[i]]
+        assert len(got_f) == len(exp), (i, len(got_f), len(exp))
+        # Compare candidate *sets* (sort order may swap fp-equal strengths).
+        exp_sorted = sorted(exp, key=lambda p: (round(-p[1], 9), p[0]))
+        got_sorted = sorted(zip(got_f, got_s), key=lambda p: (round(-p[1], 9), p[0]))
+        for (ef, es), (gf, gs) in zip(exp_sorted, got_sorted):
+            np.testing.assert_allclose(gf, ef, rtol=1e-5, atol=1e-8)
+            np.testing.assert_allclose(gs, es, rtol=1e-5, atol=1e-7)
+
+
+def test_batched_matches_single():
+    xs = np.stack(
+        [sine_hz(f, 11025.0, 512) * np.asarray(hann(512)) for f in (120.0, 220.0, 330.0)]
+    )
+    fb, sb, vb = pitch_frames(jnp.asarray(xs), 11025.0, fmin=100.0, fmax=500.0)
+    for i in range(3):
+        f1, s1, v1 = pitch_frames(jnp.asarray(xs[i])[None], 11025.0, fmin=100.0, fmax=500.0)
+        # Batched FFTs use different plans than single-frame ones; the tiny
+        # rounding difference is amplified through Brent refinement.
+        np.testing.assert_allclose(np.asarray(fb)[i], np.asarray(f1)[0], rtol=1e-6)

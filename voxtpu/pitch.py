@@ -1,0 +1,147 @@
+"""Boersma (1993) autocorrelation pitch detection, batched over frames.
+
+Reference: `Pitched::pitch` (``/root/reference/src/periodic.rs:377-456``), the
+flagship per-frame routine (13.2 ms/frame on the reference's own bench,
+benches/periodic.rs:23-25).
+
+TPU design — the whole frame batch moves through one fused program:
+  1. quirk-exact FFT autocorrelation (voxtpu.autocorr) -> normalize by max
+     -> divide by the analytic Hann lag window -> zero-pad to 2n;
+  2. local maxima over the first floor(n/2) lags as one shifted-compare mask;
+  3. parabolic frequency per maximum (vectorized), band filter;
+  4. candidate compaction to a fixed capacity (lag order, like the reference's
+     push order);
+  5. strength via depth-30 windowed-sinc interpolation, one masked tap
+     reduction per (frame, candidate) lane;
+  6. Brent + depth-1200 sinc refinement as a fixed 60-trip vector loop;
+  7. the unvoiced candidate (freq 0, strength = threshold) appended, then a
+     batched sort by strength descending (stable, matching Rust sort_by).
+
+`local_peak`/`global_peak` are accepted-but-unused in the reference
+(periodic.rs:357, 396); the Praat-complete voicing parameters the stale 8-arg
+callers reveal (benches/periodic.rs:39) live in voxtpu.viterbi instead.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from voxtpu.autocorr import autocorrelate
+from voxtpu.sinc import improve_extremum_sinc, interpolate_sinc
+from voxtpu.windows import hanning_lag
+
+__all__ = ["pitch_frames", "best_pitch"]
+
+INTERPOLATION_DEPTH = 0.5  # periodic.rs:413
+STRENGTH_SINC_DEPTH = 30  # periodic.rs:433
+REFINE_SINC_DEPTH = 1200  # periodic.rs:444
+
+
+@partial(jax.jit, static_argnames=("sample_rate", "fmin", "fmax", "max_candidates", "threshold"))
+def pitch_frames(
+    frames: jax.Array,
+    sample_rate: float,
+    threshold: float = 0.2,
+    fmin: float = 50.0,
+    fmax: float = 600.0,
+    max_candidates: int = 32,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Pitch candidates for a batch of (already windowed) frames.
+
+    Args:
+      frames: (B, n) windowed frames (the reference assumes pre-windowed
+        input, periodic.rs:383-384).
+      sample_rate, threshold, fmin, fmax: as the reference's pitch() args.
+      max_candidates: fixed candidate capacity per frame. The reference keeps
+        every band-passed local maximum; voiced speech yields well under 32.
+        If a frame has more, the lowest-lag ones win (reference push order).
+
+    Returns:
+      (freq, strength, valid): each (B, max_candidates + 1), sorted by
+      strength descending per frame; the unvoiced candidate (0, threshold)
+      occupies one lane. Invalid (unused capacity) lanes have valid=False and
+      strength=-inf ordering (they sort last).
+    """
+    frames = jnp.asarray(frames)
+    if frames.ndim == 1:
+        frames = frames[None]
+    B, n = frames.shape
+    dt = frames.dtype
+    C = max_candidates
+
+    # --- lag-domain normalized autocorrelation (periodic.rs:400-411)
+    self_lag = autocorrelate(frames, n)
+    self_lag = self_lag / jnp.max(jnp.abs(self_lag), axis=-1, keepdims=True)
+    self_lag = self_lag / jnp.asarray(hanning_lag(n), dtype=dt)
+    self_lag = jnp.concatenate([self_lag, jnp.zeros_like(self_lag)], axis=-1)
+
+    bi = int(math.floor(INTERPOLATION_DEPTH * n))  # brent_ixmax
+
+    # --- local maxima over self_lag[0..bi) (periodic.rs:413-417)
+    seg = self_lag[:, :bi]
+    is_max = (seg[:, :-2] < seg[:, 1:-1]) & (seg[:, 2:] < seg[:, 1:-1])  # centers 1..bi-2
+    ix = jnp.arange(1, bi - 1)
+
+    # --- parabolic frequency (periodic.rs:420-425)
+    peak = seg[:, 1:-1]
+    peak_rev = seg[:, :-2]
+    peak_fwd = seg[:, 2:]
+    dr = 0.5 * (peak_fwd - peak_rev)
+    d2r = 2.0 * peak - (peak_rev - peak_fwd)
+    freq = sample_rate / (ix.astype(dt)[None, :] + dr / d2r)
+
+    # --- band filter (periodic.rs:439); freq == 0 passes but cannot occur
+    cand = is_max & ((freq == 0.0) | ((freq > fmin) & (freq < fmax)))
+
+    # --- compact to capacity C in lag order
+    order = jnp.argsort(~cand, axis=-1, stable=True)[:, :C]
+    cand_c = jnp.take_along_axis(cand, order, axis=-1)
+    freq_c = jnp.take_along_axis(freq, order, axis=-1)
+
+    offset = -bi - 1
+    nx = bi - offset  # == 2*bi + 1
+
+    # --- strength: sinc depth 30 at n = sr/freq - offset (periodic.rs:429-435)
+    pos = sample_rate / freq_c - offset
+    pos = jnp.where(cand_c, pos, float(bi))  # keep dead lanes in-range
+    # Band-passed candidates satisfy sr/freq < sr/fmin, bounding the tap count.
+    max_x = sample_rate / fmin - offset
+    strn = interpolate_sinc(self_lag, offset, nx, pos, STRENGTH_SINC_DEPTH, max_x=max_x)
+    strn = jnp.where(strn > 1.0, 1.0 / strn, strn)
+
+    # --- refinement: Brent over sinc depth 1200 (periodic.rs:440-450)
+    xmid, ymid = improve_extremum_sinc(
+        self_lag, offset, nx, pos, REFINE_SINC_DEPTH, max_x=max_x + 1.0
+    )
+    xmid = xmid + offset
+    ymid = jnp.where(ymid > 1.0, 1.0 / ymid, ymid)
+    freq_r = sample_rate / xmid
+    strength_r = ymid
+
+    # --- append unvoiced candidate + sort by strength desc (periodic.rs:452-453)
+    freq_all = jnp.concatenate(
+        [jnp.where(cand_c, freq_r, 0.0), jnp.zeros((B, 1), dtype=dt)], axis=-1
+    )
+    strength_all = jnp.concatenate(
+        [jnp.where(cand_c, strength_r, -jnp.inf), jnp.full((B, 1), threshold, dtype=dt)],
+        axis=-1,
+    )
+    valid_all = jnp.concatenate([cand_c, jnp.ones((B, 1), dtype=bool)], axis=-1)
+
+    sort_ix = jnp.argsort(-strength_all, axis=-1, stable=True)
+    freq_s = jnp.take_along_axis(freq_all, sort_ix, axis=-1)
+    strength_s = jnp.take_along_axis(strength_all, sort_ix, axis=-1)
+    valid_s = jnp.take_along_axis(valid_all, sort_ix, axis=-1)
+    strength_s = jnp.where(valid_s, strength_s, 0.0)
+    return freq_s, strength_s, valid_s
+
+
+def best_pitch(freq: jax.Array, strength: jax.Array, valid: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Stub-compatible 'take the strongest candidate' (PitchExtractor's
+    unimplemented path search just returns candidates[frame][0],
+    periodic.rs:340-353)."""
+    return freq[..., 0], strength[..., 0]
