@@ -1,0 +1,89 @@
+"""Benchmark: pitch+formant+MFCC throughput, audio-seconds/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's own bench_pitch comment
+(/root/reference/benches/periodic.rs:23-25) — 13,197,760 ns for one
+4096-sample 44.1 kHz frame (92.9 ms of audio) of *pitch alone*, i.e. ~7.04x
+real-time on one core. We run the full pipeline (pitch candidates + Burg LPC
+formant tracking + MFCC + RMS) on the same frame size and report
+audio-seconds processed per wall-second per chip.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from voxtpu.io_wav import read_wav
+    from voxtpu.frame import frame_signal
+    from voxtpu.pipeline import (
+        AnalysisConfig,
+        FormantConfig,
+        MfccConfig,
+        PitchConfig,
+        analyze_frames,
+    )
+
+    frame_len = 4096  # the reference bench frame (benches/periodic.rs:15-22)
+    hop = 1024
+    sr = 44100.0
+
+    config = AnalysisConfig(
+        sample_rate=sr,
+        frame_len=frame_len,
+        hop=hop,
+        pitch=PitchConfig(threshold=0.2, fmin=60.0, fmax=600.0, max_candidates=32),
+        formant=FormantConfig(n_coeffs=13),
+        mfcc=MfccConfig(num_coeffs=13, freq_lo=100.0, freq_hi=8000.0),
+    )
+
+    # Real speech: tile the bundled two-vowels recording (44.1 kHz).
+    try:
+        wav = read_wav("tests/fixtures/sample-two_vowels.wav")
+        samples = np.asarray(wav.samples, dtype=np.float32)
+    except Exception:
+        t = np.arange(sr * 3, dtype=np.float32) / sr
+        samples = np.sin(2 * np.pi * 150 * t).astype(np.float32)
+
+    reps = 18  # ~51 s of audio
+    signal = np.tile(samples, reps)
+    frames = frame_signal(jnp.asarray(signal, dtype=jnp.float32), frame_len, hop)
+    frames = jax.device_put(frames)
+    n_frames = frames.shape[0]
+    audio_seconds = n_frames * hop / sr
+
+    fn = jax.jit(lambda f: analyze_frames(f, config))
+
+    # Compile + warmup.
+    out = fn(frames)
+    jax.block_until_ready(out)
+
+    iters = 5
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(frames)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+
+    xrt = audio_seconds / best
+    baseline_xrt = 0.0929 / 0.01319776  # reference bench_pitch, ~7.04x RT
+    result = {
+        "metric": "pitch+formant+mfcc throughput",
+        "value": round(xrt, 1),
+        "unit": "audio-seconds/sec/chip (x real-time)",
+        "vs_baseline": round(xrt / baseline_xrt, 1),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Pipeline + sharding tests (8 virtual CPU devices, see conftest)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from voxtpu.pipeline import (
+    AnalysisConfig,
+    FormantConfig,
+    MfccConfig,
+    PitchConfig,
+    analyze,
+    analyze_frames,
+)
+from voxtpu.dist import make_mesh, sharded_analyze, dryrun_multichip
+from voxtpu.frame import frame_signal
+
+from util import sine_hz
+
+
+def small_config(sr=11025.0):
+    return AnalysisConfig(
+        sample_rate=sr,
+        frame_len=512,
+        hop=256,
+        pitch=PitchConfig(fmin=100.0, fmax=500.0, max_candidates=16),
+        formant=FormantConfig(n_coeffs=10),
+        mfcc=MfccConfig(num_coeffs=13, freq_hi=5000.0),
+    )
+
+
+def test_analyze_speech_smoke():
+    import os
+    from voxtpu.io_wav import read_wav
+
+    wav = read_wav(os.path.join(os.path.dirname(__file__), "fixtures", "short_sample.wav"))
+    cfg = small_config(float(wav.sample_rate))
+    out = analyze(wav.samples, cfg)
+    F = (len(wav.samples) - 512) // 256 + 1
+    assert out["f0"].shape == (F,)
+    assert out["formant_freqs"].shape == (F, 4)
+    assert out["mfcc"].shape == (F, 13)
+    assert np.all(np.isfinite(np.asarray(out["mfcc"])))
+    assert np.all(np.asarray(out["status"]) == 0)
+
+
+def test_analyze_is_jittable_and_deterministic():
+    x = sine_hz(220.0, 11025.0, 4096)
+    cfg = small_config()
+    frames = frame_signal(jnp.asarray(x), cfg.frame_len, cfg.hop)
+    out1 = analyze_frames(frames, cfg)
+    out2 = analyze_frames(frames, cfg)
+    np.testing.assert_array_equal(np.asarray(out1["f0"]), np.asarray(out2["f0"]))
+    assert abs(float(out1["f0"][0]) - 220.0) < 1.0
+
+
+def test_sharded_matches_single_device():
+    """Frames-axis sharding with halo must reproduce the serial trajectory
+    after the warmup region."""
+    rng = np.random.default_rng(0)
+    sr = 11025.0
+    cfg = small_config(sr)
+    t = np.arange(16 * 256 + 512) / sr
+    x = np.sin(2 * np.pi * 220 * t) + 0.1 * rng.standard_normal(t.shape)
+    frames = frame_signal(jnp.asarray(x), cfg.frame_len, cfg.hop)[:16]
+
+    serial = analyze_frames(frames, cfg)
+
+    mesh = make_mesh(1, 4)
+    overlap = 4
+    sharded = sharded_analyze(frames[None], cfg, mesh, overlap=overlap)
+
+    got = np.asarray(sharded["f0"])[0]
+    np.testing.assert_allclose(got, np.asarray(serial["f0"]), rtol=1e-6)
+
+    # Formants: exact agreement except possibly inside each shard's first
+    # few frames (carry warmup); with overlap >= mixing time they match.
+    got_ff = np.asarray(sharded["formant_freqs"])[0]
+    exp_ff = np.asarray(serial["formant_freqs"])
+    np.testing.assert_allclose(got_ff[4:], exp_ff[4:], rtol=1e-5)
+
+
+def test_dryrun_multichip_8():
+    dryrun_multichip(8)
+
+
+def test_dryrun_multichip_1():
+    dryrun_multichip(1)
+
+
+def test_graft_entry():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.all(np.isfinite(np.asarray(out["f0"])))

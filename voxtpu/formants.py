@@ -194,6 +194,10 @@ def formant_tracker(
         ef, eb = estimate_formants_step(ef, eb, rf, rb)
         return (ef, eb), (ef, eb)
 
+    # Tie the carry to the input data so its device-variance matches under
+    # shard_map (a shard-invariant carry fails scan's vma check).
+    est_freq = est_freq + 0.0 * res_freq[0, 0]
+    est_bw = est_bw + 0.0 * res_bw[0, 0]
     (_, _), (freqs, bws) = jax.lax.scan(step, (est_freq, est_bw), (res_freq, res_bw))
     return freqs, bws
 

@@ -1,0 +1,128 @@
+"""The fused per-file analysis pipeline: pitch + formants + MFCC + RMS.
+
+This is the voxtpu equivalent of the reference's example drivers
+(``/root/reference/examples/formant_extraction/src/main.rs:72-98``,
+``examples/pitch_detection.rs:15-49``), which loop frames serially and call
+each analysis per frame. Here one jitted program takes the whole framed file
+(or a corpus shard) and produces every feature in a single XLA executable:
+framing is a strided gather, pitch/MFCC/LPC/roots are frame-parallel, and the
+only sequential computation — the 6-slot McCandless carry — runs as a
+`lax.scan` over frames.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from voxtpu import waves
+from voxtpu.frame import frame_signal, num_frames
+from voxtpu.formants import find_formants, MALE_FORMANT_ESTIMATES
+from voxtpu.mfcc import mfcc
+from voxtpu.pitch import pitch_frames
+from voxtpu.windows import hann
+
+__all__ = ["PitchConfig", "FormantConfig", "MfccConfig", "AnalysisConfig", "analyze_frames", "analyze"]
+
+
+@dataclass(frozen=True)
+class PitchConfig:
+    enabled: bool = True
+    threshold: float = 0.2
+    fmin: float = 60.0
+    fmax: float = 600.0
+    max_candidates: int = 32
+
+
+@dataclass(frozen=True)
+class FormantConfig:
+    enabled: bool = True
+    n_coeffs: int = 13
+    resample_ratio: float = 1.0
+    estimates: tuple = MALE_FORMANT_ESTIMATES
+    estimate_bandwidth: float = 1.0
+
+
+@dataclass(frozen=True)
+class MfccConfig:
+    enabled: bool = True
+    num_coeffs: int = 13
+    freq_lo: float = 100.0
+    freq_hi: float = 5000.0
+    preemphasis_factor: float | None = None
+    exact: bool = True
+
+
+@dataclass(frozen=True)
+class AnalysisConfig:
+    """Static analysis parameters (all shape-affecting fields are Python
+    values so one config = one compiled executable)."""
+
+    sample_rate: float = 11025.0
+    frame_len: int = 1024
+    hop: int = 512
+    pitch: PitchConfig = field(default_factory=PitchConfig)
+    formant: FormantConfig = field(default_factory=FormantConfig)
+    mfcc: MfccConfig = field(default_factory=MfccConfig)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def analyze_frames(frames: jax.Array, config: AnalysisConfig) -> dict:
+    """Analyze rectangular frames (F, n): returns the full feature dict.
+
+    Windowing follows the reference drivers: pitch and MFCC see
+    Hann-windowed frames; `find_formants` windows internally (lib.rs:66-70);
+    RMS is computed on the raw frame (tests/lib.rs:80).
+    """
+    frames = jnp.asarray(frames)
+    sr = config.sample_rate
+    n = frames.shape[-1]
+    dt = frames.dtype
+    out: dict = {}
+
+    window = jnp.asarray(hann(n), dtype=dt)
+    windowed = frames * window
+
+    out["rms"] = waves.rms(frames)
+
+    if config.pitch.enabled:
+        p = config.pitch
+        freq, strength, valid = pitch_frames(
+            windowed, sr, threshold=p.threshold, fmin=p.fmin, fmax=p.fmax,
+            max_candidates=p.max_candidates,
+        )
+        out["pitch_candidates_freq"] = freq
+        out["pitch_candidates_strength"] = strength
+        out["pitch_candidates_valid"] = valid
+        out["f0"] = freq[..., 0]
+        out["f0_strength"] = strength[..., 0]
+
+    if config.formant.enabled:
+        f = config.formant
+        freqs, bws, status = find_formants(
+            frames, sr, f.n_coeffs, resample_ratio=f.resample_ratio,
+            estimates=f.estimates, estimate_bandwidth=f.estimate_bandwidth,
+        )
+        out["formant_freqs"] = freqs
+        out["formant_bws"] = bws
+        out["status"] = status
+
+    if config.mfcc.enabled:
+        m = config.mfcc
+        x = frames
+        if m.preemphasis_factor is not None:
+            x = waves.preemphasis(x, m.preemphasis_factor)
+        x = x * window
+        out["mfcc"] = mfcc(x, m.num_coeffs, (m.freq_lo, m.freq_hi), sr, exact=m.exact)
+
+    return out
+
+
+def analyze(samples, config: AnalysisConfig) -> dict:
+    """Frame a 1-D signal and analyze (host-side convenience wrapper)."""
+    frames = frame_signal(jnp.asarray(samples), config.frame_len, config.hop)
+    return analyze_frames(frames, config)

@@ -47,6 +47,9 @@ def resonances_from_roots(
     nyquist = sr * 0.5
     im_ok = roots.im > 0 if require_im_positive else roots.im >= 0
     valid = im_ok & (freq > 50.0) & (freq < nyquist - 50.0)
+    # f32 fast mode: pathological frames can push Laguerre to inf/nan roots;
+    # treat them as non-resonances rather than poisoning the tracker.
+    valid = valid & jnp.isfinite(freq) & jnp.isfinite(bw)
     zero = jnp.zeros_like(freq)
     return jnp.where(valid, freq, zero), jnp.where(valid, bw, zero), valid
 
