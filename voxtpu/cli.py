@@ -1,0 +1,206 @@
+"""Command-line driver: `python -m voxtpu`.
+
+The reference's examples are its CLI (pitch_detection.rs, the
+formant_extraction binary printing gnuplot columns, main.rs:90-98). voxtpu
+ships a real CLI with the same outputs plus npz export and a sharded corpus
+runner.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import math
+import os
+import sys
+
+import numpy as np
+
+
+def _build_config(args, sample_rate: float):
+    from voxtpu.pipeline import AnalysisConfig, FormantConfig, MfccConfig, PitchConfig
+
+    features = set(args.features.split(","))
+    frame_len = int(math.ceil(sample_rate * args.frame_ms / 1000.0))
+    hop = int(math.ceil(sample_rate * args.hop_ms / 1000.0))
+    resample_ratio = 1.0
+    analysis_rate = sample_rate
+    if args.resample_hz:
+        resample_ratio = args.resample_hz / sample_rate
+        analysis_rate = args.resample_hz
+        frame_len = int(math.ceil(analysis_rate * args.frame_ms / 1000.0 / resample_ratio))
+        hop = int(math.ceil(analysis_rate * args.hop_ms / 1000.0 / resample_ratio))
+    return (
+        AnalysisConfig(
+            sample_rate=analysis_rate if args.resample_hz else sample_rate,
+            frame_len=frame_len,
+            hop=hop,
+            pitch=PitchConfig(
+                enabled="pitch" in features,
+                threshold=args.threshold,
+                fmin=args.fmin,
+                fmax=args.fmax,
+            ),
+            formant=FormantConfig(
+                enabled="formants" in features,
+                n_coeffs=args.n_coeffs,
+                resample_ratio=resample_ratio,
+            ),
+            mfcc=MfccConfig(enabled="mfcc" in features, num_coeffs=args.mfcc_coeffs),
+        ),
+        sample_rate,
+    )
+
+
+def _read(path: str, dtype):
+    from voxtpu import native
+
+    if native.available():
+        try:
+            samples, sr, _bits = native.read_wav(path, dtype=dtype)
+            return samples, float(sr)
+        except Exception:
+            pass
+    from voxtpu.io_wav import read_wav
+
+    wav = read_wav(path, dtype=dtype)
+    samples = wav.samples
+    if samples.ndim > 1:
+        samples = samples[:, 0]
+    return samples, float(wav.sample_rate)
+
+
+def _print_columns(out, hop, sample_rate, file=sys.stdout):
+    """gnuplot-ready columns: time, 4x(freq bw), rms, f0 (main.rs:90-98)."""
+    F = out["rms"].shape[-1] if out["rms"].ndim else 1
+    ff = np.asarray(out.get("formant_freqs", np.zeros((F, 4))))
+    fb = np.asarray(out.get("formant_bws", np.zeros((F, 4))))
+    rms = np.atleast_1d(np.asarray(out["rms"]))
+    f0 = np.atleast_1d(np.asarray(out.get("f0", np.zeros(F))))
+    for i in range(len(rms)):
+        cols = [f"{i * hop / sample_rate:.6f}"]
+        for k in range(min(4, ff.shape[-1])):
+            cols += [f"{ff[i, k]:.3f}", f"{fb[i, k]:.3f}"]
+        cols += [f"{rms[i]:.6f}", f"{f0[i]:.3f}"]
+        print(" ".join(cols), file=file)
+
+
+def cmd_analyze(args) -> int:
+    import jax.numpy as jnp
+
+    from voxtpu.frame import frame_signal
+    from voxtpu.pipeline import analyze_frames
+    from voxtpu.viterbi import PathConfig, pitch_path
+
+    dtype = np.float64 if args.f64 else np.float32
+    samples, sr = _read(args.file, dtype)
+    config, _ = _build_config(args, sr)
+
+    frames = frame_signal(jnp.asarray(samples), config.frame_len, config.hop)
+    out = analyze_frames(frames, config)
+
+    if args.viterbi and config.pitch.enabled:
+        f0, s0 = pitch_path(
+            out["pitch_candidates_freq"],
+            out["pitch_candidates_strength"],
+            out["pitch_candidates_valid"],
+            PathConfig(ceiling=args.fmax),
+        )
+        out = dict(out)
+        out["f0"], out["f0_strength"] = f0, s0
+
+    out = {k: np.asarray(v) for k, v in out.items()}
+    if args.output:
+        np.savez(args.output, **out)
+        print(f"wrote {args.output} ({out['rms'].shape[0]} frames)", file=sys.stderr)
+    else:
+        _print_columns(out, config.hop, sr)
+    return 0
+
+
+def cmd_corpus(args) -> int:
+    """Analyze many files, sharded over the device mesh (files axis = DP)."""
+    import jax
+    import jax.numpy as jnp
+
+    from voxtpu.frame import frame_signal
+    from voxtpu.pipeline import analyze_frames
+
+    paths = []
+    for pat in args.files:
+        paths.extend(sorted(glob.glob(pat)))
+    if not paths:
+        print("no input files", file=sys.stderr)
+        return 1
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    dtype = np.float64 if args.f64 else np.float32
+    manifest = {}
+    for path in paths:
+        samples, sr = _read(path, dtype)
+        config, _ = _build_config(args, sr)
+        frames = frame_signal(jnp.asarray(samples), config.frame_len, config.hop)
+        out = analyze_frames(frames, config)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        name = os.path.splitext(os.path.basename(path))[0] + ".npz"
+        np.savez(os.path.join(args.output_dir, name), **out)
+        manifest[path] = {
+            "output": name,
+            "frames": int(out["rms"].shape[0]),
+            "sample_rate": sr,
+            "status_nonzero": int(np.count_nonzero(out.get("status", np.zeros(1)))),
+        }
+        print(f"{path}: {manifest[path]['frames']} frames", file=sys.stderr)
+    with open(os.path.join(args.output_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    print(f"wrote {len(paths)} feature files to {args.output_dir}", file=sys.stderr)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="voxtpu", description="TPU-native speech analysis")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--frame-ms", type=float, default=50.0)
+        sp.add_argument("--hop-ms", type=float, default=10.0)
+        sp.add_argument("--n-coeffs", type=int, default=13)
+        sp.add_argument("--mfcc-coeffs", type=int, default=13)
+        sp.add_argument("--fmin", type=float, default=60.0)
+        sp.add_argument("--fmax", type=float, default=600.0)
+        sp.add_argument("--threshold", type=float, default=0.2)
+        sp.add_argument("--resample-hz", type=float, default=None)
+        sp.add_argument("--features", default="pitch,formants,mfcc,rms")
+        sp.add_argument("--viterbi", action="store_true", help="Viterbi pitch path")
+        sp.add_argument("--f64", action="store_true", help="float64 (CPU parity mode)")
+
+    sa = sub.add_parser("analyze", help="analyze one WAV file")
+    sa.add_argument("file")
+    sa.add_argument("--output", "-o", help="write .npz instead of columns")
+    common(sa)
+    sa.set_defaults(fn=cmd_analyze)
+
+    sc = sub.add_parser("corpus", help="analyze many WAV files")
+    sc.add_argument("files", nargs="+", help="paths or globs")
+    sc.add_argument("--output-dir", "-o", default="voxtpu_features")
+    common(sc)
+    sc.set_defaults(fn=cmd_corpus)
+
+    sb = sub.add_parser("bench", help="run the throughput benchmark")
+    sb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

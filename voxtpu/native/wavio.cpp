@@ -1,0 +1,163 @@
+// Native WAV reader + framer: the data-loading runtime of voxtpu.
+//
+// Role parity: the reference's drivers read WAVs with the native Rust `hound`
+// crate and frame with `sample::window::Windower`
+// (/root/reference/tests/lib.rs:15-19, 71-83). voxtpu keeps ingest native too:
+// this C++ module parses RIFF/PCM, normalizes integer samples with the
+// reference's `s / (i32::MAX >> (32 - bits))` convention, and materializes the
+// strided (F, frame_len) batch directly into caller-provided memory, so the
+// Python layer never touches per-sample loops. Exposed through ctypes (no
+// pybind11 in this image).
+//
+// Build: see voxtpu/native/__init__.py (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct WavInfo {
+  uint32_t sample_rate = 0;
+  uint16_t bits = 0;
+  uint16_t channels = 0;
+  uint64_t n_frames = 0;  // per-channel sample count
+};
+
+// Parses header; returns data chunk offset+size, or 0 on failure.
+bool parse_wav(const uint8_t* buf, uint64_t len, WavInfo* info,
+               uint64_t* data_off, uint64_t* data_len) {
+  if (len < 44 || memcmp(buf, "RIFF", 4) != 0 || memcmp(buf + 8, "WAVE", 4) != 0)
+    return false;
+  uint64_t pos = 12;
+  bool have_fmt = false;
+  while (pos + 8 <= len) {
+    const uint8_t* ck = buf + pos;
+    uint32_t ck_len;
+    memcpy(&ck_len, ck + 4, 4);
+    uint64_t body = pos + 8;
+    if (memcmp(ck, "fmt ", 4) == 0 && body + 16 <= len) {
+      uint16_t fmt;
+      memcpy(&fmt, buf + body, 2);
+      if (fmt != 1 && fmt != 0xFFFE) return false;  // PCM only
+      memcpy(&info->channels, buf + body + 2, 2);
+      memcpy(&info->sample_rate, buf + body + 4, 4);
+      memcpy(&info->bits, buf + body + 14, 2);
+      have_fmt = true;
+    } else if (memcmp(ck, "data", 4) == 0) {
+      *data_off = body;
+      *data_len = ck_len;
+      if (*data_off + *data_len > len) *data_len = len - *data_off;
+      if (!have_fmt) return false;
+      uint32_t bytes_per = (info->bits / 8) * info->channels;
+      if (bytes_per == 0) return false;
+      info->n_frames = *data_len / bytes_per;
+      return true;
+    }
+    pos = body + ck_len + (ck_len & 1);
+  }
+  return false;
+}
+
+template <typename F>
+void decode_samples(const uint8_t* data, uint64_t n, uint16_t bits,
+                    uint16_t channels, uint16_t chan, F* out) {
+  const double scale = (double)(INT32_MAX >> (32 - bits));
+  if (bits == 16) {
+    const int16_t* s = reinterpret_cast<const int16_t*>(data);
+    for (uint64_t i = 0; i < n; ++i)
+      out[i] = (F)(s[i * channels + chan] / scale);
+  } else if (bits == 32) {
+    const int32_t* s = reinterpret_cast<const int32_t*>(data);
+    for (uint64_t i = 0; i < n; ++i)
+      out[i] = (F)(s[i * channels + chan] / scale);
+  } else if (bits == 8) {
+    for (uint64_t i = 0; i < n; ++i)
+      out[i] = (F)(((int)data[i * channels + chan] - 128) / scale);
+  } else if (bits == 24) {
+    for (uint64_t i = 0; i < n; ++i) {
+      const uint8_t* p = data + (i * channels + chan) * 3;
+      int32_t v = (int32_t)(p[0] | (p[1] << 8) | (p[2] << 16));
+      if (v >= (1 << 23)) v -= (1 << 24);
+      out[i] = (F)(v / scale);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success. Fills sample_rate/bits/channels/n (per-channel count).
+int voxtpu_wav_info(const char* path, uint32_t* sample_rate, uint32_t* bits,
+                    uint32_t* channels, uint64_t* n) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  fseek(f, 0, SEEK_END);
+  long len = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(len);
+  if (fread(buf.data(), 1, len, f) != (size_t)len) {
+    fclose(f);
+    return 2;
+  }
+  fclose(f);
+  WavInfo info;
+  uint64_t off, dlen;
+  if (!parse_wav(buf.data(), len, &info, &off, &dlen)) return 3;
+  *sample_rate = info.sample_rate;
+  *bits = info.bits;
+  *channels = info.channels;
+  *n = info.n_frames;
+  return 0;
+}
+
+// Reads channel `chan` into out (length n from voxtpu_wav_info), float32 or
+// float64 depending on `f64`. Returns 0 on success.
+int voxtpu_wav_read(const char* path, uint32_t chan, int f64, void* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  fseek(f, 0, SEEK_END);
+  long len = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(len);
+  if (fread(buf.data(), 1, len, f) != (size_t)len) {
+    fclose(f);
+    return 2;
+  }
+  fclose(f);
+  WavInfo info;
+  uint64_t off, dlen;
+  if (!parse_wav(buf.data(), len, &info, &off, &dlen)) return 3;
+  if (chan >= info.channels) return 4;
+  if (info.bits != 8 && info.bits != 16 && info.bits != 24 && info.bits != 32)
+    return 5;
+  if (f64)
+    decode_samples(buf.data() + off, info.n_frames, info.bits, info.channels,
+                   chan, (double*)out);
+  else
+    decode_samples(buf.data() + off, info.n_frames, info.bits, info.channels,
+                   chan, (float*)out);
+  return 0;
+}
+
+// Strided framing: x (n) -> frames (F, frame_len), F = (n-frame_len)/hop + 1.
+// Caller allocates. float32 variant; the f64 twin below.
+void voxtpu_frame_f32(const float* x, uint64_t n, uint64_t frame_len,
+                      uint64_t hop, float* out) {
+  if (n < frame_len) return;
+  uint64_t F = (n - frame_len) / hop + 1;
+  for (uint64_t i = 0; i < F; ++i)
+    memcpy(out + i * frame_len, x + i * hop, frame_len * sizeof(float));
+}
+
+void voxtpu_frame_f64(const double* x, uint64_t n, uint64_t frame_len,
+                      uint64_t hop, double* out) {
+  if (n < frame_len) return;
+  uint64_t F = (n - frame_len) / hop + 1;
+  for (uint64_t i = 0; i < F; ++i)
+    memcpy(out + i * frame_len, x + i * hop, frame_len * sizeof(double));
+}
+
+}  // extern "C"
