@@ -140,6 +140,103 @@ _GOLDEN = 1.0 - 0.6180339887498948482045868343656381177203091798057628621
 _EPS = float(jnp.finfo(jnp.float64).eps)
 
 
+class _WindowEval:
+    """Gather-free sinc evaluation for Brent refinement.
+
+    During Brent the evaluation point moves within (x0-1, x0+1), so
+    floor(x) - floor(x0) is always in {-1, 0, +1} and every tap read falls in
+    one contiguous window of y around floor(x0). We materialize that window
+    once per (frame, candidate) lane — the only gather — and every Brent
+    iteration becomes static window slices x tap coefficients, a dense
+    VPU-friendly multiply-reduce. (The naive form re-gathers ~(B*C*T) scattered
+    elements per iteration, a TPU anti-pattern: gathers serialize on the
+    scalar unit while this runs on the full vector datapath.)
+    """
+
+    def __init__(self, y: jax.Array, offset: int, nx: int, x0: jax.Array, max_depth: int, taps: int):
+        self.offset = offset
+        self.nx = nx
+        self.max_depth = max_depth
+        self.T = taps - 1
+        dt = y.dtype
+        self.dt = dt
+        L = y.shape[-1]
+        K = jnp.floor(x0).astype(jnp.int32)  # (B, C)
+        self.K = K
+        W = 2 * self.T + 4
+        wstart = offset + K - self.T  # (B, C)
+        rel = jnp.arange(W, dtype=jnp.int32)
+        idx = jnp.clip(wstart[..., None] + rel, 0, L - 1)  # (B, C, W)
+        self.win = jnp.take_along_axis(
+            y[:, None, :], idx.reshape(idx.shape[0], -1)[:, None, :], axis=-1
+        ).reshape(idx.shape)
+        self.tap = jnp.arange(taps, dtype=dt)
+        self.tap_i = jnp.arange(taps, dtype=jnp.int32)
+        self.sign = jnp.asarray(1.0 - 2.0 * (jnp.arange(taps) % 2), dtype=dt)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        T = self.T
+        dt = self.dt
+        nl = jnp.floor(x)
+        nl_i = nl.astype(jnp.int32)
+        s = jnp.clip(nl_i - self.K, -1, 1)  # shift in {-1, 0, 1}
+        phil = x - nl
+        phir = 1.0 - phil
+
+        md = jnp.minimum(
+            jnp.asarray(self.max_depth, dtype=jnp.int32),
+            jnp.maximum(self.offset + nl_i + 1, 0),
+        )
+        md = jnp.minimum(md, T)
+        md_f = md.astype(dt)
+        active = self.tap_i[None, None, :] <= md[..., None]
+
+        a_l = jnp.pi * (phil[..., None] + self.tap)
+        coef_l = (jnp.sin(jnp.pi * phil)[..., None] * self.sign / a_l) * (
+            0.5 + 0.5 * jnp.cos(a_l / (phil[..., None] + md_f[..., None]))
+        )
+        a_r = jnp.pi * (phir[..., None] + self.tap)
+        coef_r = (jnp.sin(jnp.pi * phir)[..., None] * self.sign / a_r) * (
+            0.5 + 0.5 * jnp.cos(a_r / (phir[..., None] + md_f[..., None]))
+        )
+        coef_l = jnp.where(active, coef_l, 0.0)
+        coef_r = jnp.where(active, coef_r, 0.0)
+
+        # Left taps read window cells r = s + T + 1 - n, i.e. a reversed slice;
+        # right taps read r = s + T + n. Three static slices per side, selected
+        # by the lane's shift.
+        winf = jnp.flip(self.win, axis=-1)
+        W = self.win.shape[-1]
+        result = jnp.zeros_like(x)
+        lsum = jnp.zeros_like(x)
+        rsum = jnp.zeros_like(x)
+        for sv in (-1, 0, 1):
+            # left: window index descends from sv+T+1; in flipped coords the
+            # slice starts at W-1-(sv+T+1) = T+2-sv and ascends with n.
+            lstart = T + 2 - sv
+            lslice = winf[..., lstart : lstart + T + 1]
+            rstart = sv + T
+            rslice = self.win[..., rstart : rstart + T + 1]
+            l_ = jnp.sum(lslice * coef_l, axis=-1)
+            r_ = jnp.sum(rslice * coef_r, axis=-1)
+            pick = s == sv
+            lsum = jnp.where(pick, l_, lsum)
+            rsum = jnp.where(pick, r_, rsum)
+        result = lsum + rsum
+
+        # Integer-snap early returns (periodic.rs:41-42): y[offset+nl] is the
+        # right-side n=0 cell, y[offset+nr] the next one.
+        at_nl = jnp.zeros_like(x)
+        at_nr = jnp.zeros_like(x)
+        for sv in (-1, 0, 1):
+            pick = s == sv
+            at_nl = jnp.where(pick, self.win[..., sv + T], at_nl)
+            at_nr = jnp.where(pick, self.win[..., sv + T + 1], at_nr)
+        result = jnp.where(jnp.abs(x - (nl + 1.0)) < 1e-10, at_nr, result)
+        result = jnp.where(jnp.abs(x - nl) < 1e-10, at_nl, result)
+        return result
+
+
 def brent_maximize_sinc(
     y: jax.Array,
     offset: int,
@@ -161,8 +258,8 @@ def brent_maximize_sinc(
     eps = float(jnp.finfo(dt).eps)
     sqrt_eps = math.sqrt(eps)
 
-    def f(t):
-        return interpolate_sinc(y, offset, nx, t, max_depth, max_x=max_x)
+    taps = _max_effective_depth(offset, nx, max_depth, max_x if max_x is not None else float(nx)) + 1
+    f = _WindowEval(y, offset, nx, ixmid, max_depth, taps)
 
     a0 = ixmid - 1.0
     b0 = ixmid + 1.0
@@ -174,9 +271,10 @@ def brent_maximize_sinc(
         done=jnp.zeros_like(ixmid, dtype=bool),
     )
 
-    def body(_, s):
+    def body(s):
         a, b, x, w, v = s["a"], s["b"], s["x"], s["w"], s["v"]
         fx, fw, fv, done = s["fx"], s["fw"], s["fv"], s["done"]
+        it = s["it"]
 
         rng = b - a
         middle = (a + b) * 0.5
@@ -237,10 +335,16 @@ def brent_maximize_sinc(
             fw=jnp.where(upd, nfw, fw),
             fv=jnp.where(upd, nfv, fv),
             done=done,
+            it=it + 1,
         )
         return out
 
-    state = jax.lax.fori_loop(0, iters, body, state)
+    state["it"] = jnp.asarray(0, dtype=jnp.int32)
+
+    def cond(s):
+        return (s["it"] < iters) & jnp.any(~s["done"])
+
+    state = jax.lax.while_loop(cond, body, state)
     return state["x"], state["fx"]
 
 
