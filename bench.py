@@ -61,16 +61,20 @@ def main():
 
     fn = jax.jit(lambda f: analyze_frames(f, config))
 
-    # Compile + warmup.
-    out = fn(frames)
-    jax.block_until_ready(out)
+    def run_and_fetch():
+        # Fetch a checksum to the host: forces true synchronization (a bare
+        # block_until_ready can under-report under remote-execution tunnels)
+        # and is the realistic surface — features must reach the host.
+        out = fn(frames)
+        return float(np.asarray(out["f0"]).sum()) + float(np.asarray(out["mfcc"][:, 0]).sum())
+
+    run_and_fetch()  # compile + warmup
 
     iters = 5
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(frames)
-        jax.block_until_ready(out)
+        run_and_fetch()
         best = min(best, time.perf_counter() - t0)
 
     xrt = audio_seconds / best

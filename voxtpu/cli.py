@@ -71,8 +71,10 @@ def _read(path: str, dtype):
     return samples, float(wav.sample_rate)
 
 
-def _print_columns(out, hop, sample_rate, file=sys.stdout):
+def _print_columns(out, hop, sample_rate, file=None):
     """gnuplot-ready columns: time, 4x(freq bw), rms, f0 (main.rs:90-98)."""
+    if file is None:
+        file = sys.stdout
     F = out["rms"].shape[-1] if out["rms"].ndim else 1
     ff = np.asarray(out.get("formant_freqs", np.zeros((F, 4))))
     fb = np.asarray(out.get("formant_bws", np.zeros((F, 4))))
@@ -136,8 +138,28 @@ def cmd_corpus(args) -> int:
     os.makedirs(args.output_dir, exist_ok=True)
 
     dtype = np.float64 if args.f64 else np.float32
+
+    # Resume support (SURVEY §5 checkpoint/resume: "corpus-runner progress
+    # manifest"): files already present in the manifest with an unchanged
+    # mtime are skipped unless --no-resume.
+    manifest_path = os.path.join(args.output_dir, "manifest.json")
     manifest = {}
+    if not args.no_resume and os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+        except Exception:
+            manifest = {}
+
     for path in paths:
+        prev = manifest.get(path)
+        if (
+            prev
+            and prev.get("mtime") == os.path.getmtime(path)
+            and os.path.exists(os.path.join(args.output_dir, prev.get("output", "")))
+        ):
+            print(f"{path}: resume skip", file=sys.stderr)
+            continue
         samples, sr = _read(path, dtype)
         config, _ = _build_config(args, sr)
         frames = frame_signal(jnp.asarray(samples), config.frame_len, config.hop)
@@ -149,10 +171,14 @@ def cmd_corpus(args) -> int:
             "output": name,
             "frames": int(out["rms"].shape[0]),
             "sample_rate": sr,
+            "mtime": os.path.getmtime(path),
             "status_nonzero": int(np.count_nonzero(out.get("status", np.zeros(1)))),
         }
         print(f"{path}: {manifest[path]['frames']} frames", file=sys.stderr)
-    with open(os.path.join(args.output_dir, "manifest.json"), "w") as f:
+        # Write-through after each file so an interrupted run resumes.
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=2)
+    with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=2)
     print(f"wrote {len(paths)} feature files to {args.output_dir}", file=sys.stderr)
     return 0
@@ -192,6 +218,7 @@ def main(argv=None) -> int:
     sc = sub.add_parser("corpus", help="analyze many WAV files")
     sc.add_argument("files", nargs="+", help="paths or globs")
     sc.add_argument("--output-dir", "-o", default="voxtpu_features")
+    sc.add_argument("--no-resume", action="store_true", help="reprocess everything")
     common(sc)
     sc.set_defaults(fn=cmd_corpus)
 

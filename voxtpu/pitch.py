@@ -46,6 +46,8 @@ def pitch_frames(
     frames: jax.Array,
     sample_rate: float,
     threshold: float = 0.2,
+    local_peak=None,
+    global_peak=None,
     fmin: float = 50.0,
     fmax: float = 600.0,
     max_candidates: int = 32,
@@ -56,6 +58,9 @@ def pitch_frames(
       frames: (B, n) windowed frames (the reference assumes pre-windowed
         input, periodic.rs:383-384).
       sample_rate, threshold, fmin, fmax: as the reference's pitch() args.
+      local_peak/global_peak: accepted for signature parity and ignored, as in
+        the reference (periodic.rs:357, 396 — vestigial Praat intensity
+        params). The real voicing decision lives in voxtpu.viterbi.
       max_candidates: fixed candidate capacity per frame. The reference keeps
         every band-passed local maximum; voiced speech yields well under 32.
         If a frame has more, the lowest-lag ones win (reference push order).
