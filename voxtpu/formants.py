@@ -109,7 +109,11 @@ def estimate_formants_step(
         w = jnp.where(inval_w | (~same & vr_valid), r, w)
 
     # --- Step 4: fill empty slots with unassigned peaks (spectrum.rs:274-310).
-    for j in range(R):
+    # The reference iterates j over all `resonances.len()` entries, but every
+    # mutating branch requires j < 6 (or j+1 < 6), so iterations j >= 6 are
+    # provably no-ops — we unroll only the live range. (This also keeps the
+    # lax.scan step body small: it runs once per frame, serially.)
+    for j in range(min(R, NSLOTS)):
         pf = res_freq[..., j]
         pb = res_bw[..., j]
         contains = jnp.any(sv & (sf == pf[..., None]) & (sb == pb[..., None]), axis=-1)

@@ -96,17 +96,19 @@ def laguerre(c: C, start: C, n_lag: jax.Array | int | None = None, iters: int = 
     n_c = C(nf, jnp.zeros_like(nf))
     nm1_c = C(nf - 1.0, jnp.zeros_like(nf))
 
-    z = C(
+    z0 = C(
         jnp.broadcast_to(jnp.asarray(start.re, dtype=dt), batch),
         jnp.broadcast_to(jnp.asarray(start.im, dtype=dt), batch),
     )
-    done = jnp.zeros(batch, dtype=bool)
     eps = jnp.asarray(1.0e-16, dtype=dt)
 
-    for _ in range(iters):
+    # A fori_loop (not a Python unroll) keeps the HLO small: with LPC orders
+    # ~13-26 an unrolled 20-iteration Laguerre inside an unrolled deflation
+    # loop produces tens of thousands of ops and minutes of XLA compile time.
+    def body(_, state):
+        z, done = state
         p, dp, d2p = _horner_pdd(c, z)
-        newly_done = cnorm(p) <= eps
-        done = done | newly_done
+        done = done | (cnorm(p) <= eps)
 
         ca = cdiv(cneg(dp), p)
         ca2 = cmul(ca, ca)
@@ -119,9 +121,11 @@ def laguerre(c: C, start: C, n_lag: jax.Array | int | None = None, iters: int = 
         denom = C(jnp.where(use1, cc1.re, cc2.re), jnp.where(use1, cc1.im, cc2.im))
         cc = cdiv(n_c, denom)
         z_new = cadd(z, cc)
-        # Frozen once converged; also guard non-finite steps from dead lanes.
-        upd = ~done
+        upd = ~done  # frozen once converged
         z = C(jnp.where(upd, z_new.re, z.re), jnp.where(upd, z_new.im, z.im))
+        return z, done
+
+    z, _ = jax.lax.fori_loop(0, iters, body, (z0, jnp.zeros(batch, dtype=bool)))
     return z
 
 
@@ -198,7 +202,9 @@ def find_roots(c: C) -> tuple[C, jax.Array, jax.Array]:
 
     idx = jnp.arange(N)
     max_deflations = max(N - 3, 0)
-    for it in range(max_deflations):
+
+    def deflation_step(it, state):
+        work, roots_re, roots_im, status = state
         active = (it < m0 - 2) & (status == 0)
         z = laguerre(work, start, n_lag=n_lag)
         # div by zero root -> reference errors out (polynomial.rs:192)
@@ -209,6 +215,11 @@ def find_roots(c: C) -> tuple[C, jax.Array, jax.Array]:
         roots_re = jnp.where(sel, z.re[..., None], roots_re)
         roots_im = jnp.where(sel, z.im[..., None], roots_im)
         work = _deflate(work, z, active)
+        return work, roots_re, roots_im, status
+
+    work, roots_re, roots_im, status = jax.lax.fori_loop(
+        0, max_deflations, deflation_step, (work, roots_re, roots_im, status)
+    )
 
     # Tails. After deflation the live quadratic/linear sits at indices 0..2.
     c0 = C(work.re[..., 0], work.im[..., 0])
