@@ -111,3 +111,16 @@ def test_burg_batched_matches_single():
     for i in range(4):
         out_1, st_1 = burg(jnp.asarray(x[i]), 10)
         np.testing.assert_allclose(np.asarray(out_b)[i], np.asarray(out_1), rtol=1e-12)
+
+
+def test_lpc_solver_wrapper():
+    from voxtpu.lpc import LPCSolver
+
+    x = jnp.asarray(sine(8))
+    ac = autocorrelate(x, 8)
+    ac = ac / jnp.max(jnp.abs(ac))
+    solver = LPCSolver(4)
+    solver.solve(ac)
+    np.testing.assert_allclose(
+        np.asarray(solver.lpc()), np.asarray(levinson(ac, 4)), rtol=1e-12
+    )

@@ -20,7 +20,27 @@ import jax.numpy as jnp
 
 from voxtpu import errors
 
-__all__ = ["levinson", "burg"]
+__all__ = ["levinson", "burg", "LPCSolver"]
+
+
+class LPCSolver:
+    """Stateful convenience wrapper mirroring the reference's `LPCSolver`
+    (spectrum.rs:14-48). The reference's version exists to pre-carve a
+    workspace; under XLA, buffers are compiler-managed, so this is a thin
+    order-carrying wrapper over `levinson` kept for API-migration parity.
+    """
+
+    def __init__(self, n_coeffs: int):
+        self.n_coeffs = int(n_coeffs)
+        self._lpc = None
+
+    def solve(self, ac: jax.Array) -> None:
+        self._lpc = levinson(ac, self.n_coeffs)
+
+    def lpc(self) -> jax.Array:
+        if self._lpc is None:
+            raise RuntimeError("call solve() first")
+        return self._lpc
 
 
 def levinson(ac: jax.Array, n_coeffs: int) -> jax.Array:
