@@ -36,7 +36,24 @@ from voxtpu.pipeline import (
     analyze_frames,
 )
 
-__all__ = ["make_mesh", "sharded_analyze", "dryrun_multichip"]
+__all__ = ["init_distributed", "make_mesh", "sharded_analyze", "dryrun_multichip"]
+
+
+def init_distributed(coordinator_address: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host initialization for corpus-scale runs.
+
+    Maps hosts over DCN and chips over ICI: put the "files" mesh axis on the
+    host (process) dimension — each recording's frames stay on one host's
+    chips, so the only cross-host traffic is input scatter and feature gather;
+    the frames-axis halo `ppermute` rides ICI within a host's slice. No-op in
+    single-process environments (args default from cluster env vars).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def make_mesh(n_files_axis: int, n_frames_axis: int, devices=None) -> Mesh:

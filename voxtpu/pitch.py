@@ -120,7 +120,8 @@ def pitch_frames(
 
     # --- refinement: Brent over sinc depth 1200 (periodic.rs:440-450)
     xmid, ymid = improve_extremum_sinc(
-        self_lag, offset, nx, pos, REFINE_SINC_DEPTH, max_x=max_x + 1.0
+        self_lag, offset, nx, pos, REFINE_SINC_DEPTH, max_x=max_x + 1.0,
+        lane_mask=cand_c,
     )
     xmid = xmid + offset
     ymid = jnp.where(ymid > 1.0, 1.0 / ymid, ymid)

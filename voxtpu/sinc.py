@@ -246,6 +246,7 @@ def brent_maximize_sinc(
     tol: float = 1e-10,
     max_x: float | None = None,
     iters: int = 60,
+    lane_mask: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Brent maximization of the sinc interpolant on (ixmid-1, ixmid+1).
 
@@ -266,9 +267,12 @@ def brent_maximize_sinc(
     v0 = a0 + _GOLDEN * (b0 - a0)
     fv0 = f(v0)
 
+    # Dead (padding) candidate lanes start converged: the early-exit
+    # while_loop then runs only as long as the slowest *live* lane.
+    done0 = jnp.zeros_like(ixmid, dtype=bool) if lane_mask is None else ~lane_mask
     state = dict(
         a=a0, b=b0, x=v0, w=v0, v=v0, fx=fv0, fw=fv0, fv=fv0,
-        done=jnp.zeros_like(ixmid, dtype=bool),
+        done=done0,
     )
 
     def body(s):
@@ -355,13 +359,15 @@ def improve_extremum_sinc(
     ixmid: jax.Array,
     max_depth: int,
     max_x: float | None = None,
+    lane_mask: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """improve_extremum, Sinc branch, is_max=True (periodic.rs:208-228).
 
     Edge cases ixmid == 0 / ixmid >= nx (periodic.rs:193-194) are handled with
     selects. Returns (xmid, ymid) batched.
     """
-    xb, fb = brent_maximize_sinc(y, offset, nx, ixmid, max_depth, max_x=max_x)
+    xb, fb = brent_maximize_sinc(y, offset, nx, ixmid, max_depth, max_x=max_x,
+                                 lane_mask=lane_mask)
     L = y.shape[-1]
     y0 = y[:, 0][:, None]
     y_last = y[:, min(nx - 1, L - 1)][:, None]
