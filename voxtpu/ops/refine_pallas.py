@@ -1,0 +1,316 @@
+"""Pallas kernel: Brent + windowed-sinc pitch-candidate refinement.
+
+The hottest loop of the framework (SURVEY §3.1 hot loop #2: Brent x sinc-1200
+per candidate; the reference spends ~13 ms per frame here). Design:
+
+- Candidates are processed 8 per grid cell (one f32 sublane tile), all 8 from
+  the same frame. The grid cell DMAs its frame's autocorrelation prefix into
+  VMEM once (consecutive cells of the same frame reuse the resident block) and
+  runs the full Brent loop against it — **no gather anywhere**: every tap read
+  is an aligned contiguous (1, 128) slice of the frame buffer.
+- Tap sums run on (8, 128) tiles: candidate lanes on the sublane axis, lag
+  columns on the lane axis. Mosaic requires 128-aligned lane loads, so the
+  chunk loop walks aligned tiles over the union of the lanes' tap ranges and
+  derives each lane's tap index from the column index (right taps
+  n = col - base_r, left taps m = base_l - col); the per-lane +/-1 window
+  shift folds into the same arithmetic.
+- The per-candidate effective depth is its lag+1 (the reference's low depth
+  clip), so the chunk loop's trip count is the *block* range — candidates
+  arrive in ascending-lag order per frame, so short-lag blocks do
+  proportionally less work (ragged execution via a traced fori bound,
+  impossible in plain XLA).
+- `sin(pi(phi+n))` is one sin per lane via the (-1)^n identity; the Hann taper
+  cos is evaluated per tile on the VPU, fused with the MAC, and skipped for
+  tiles where no lane is active (@pl.when predication).
+
+Numerics match voxtpu.sinc._WindowEval (which matches the reference's
+interpolate_sinc, periodic.rs:29-87) — pinned by interpret-mode equivalence
+tests in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 8  # candidates per grid cell (f32 sublane count)
+CHUNK = 128  # lag columns per tile (lane count)
+
+_GOLDEN = 1.0 - 0.6180339887498948482045868343656381177203091798057628621
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(x0_ref, k_ref, valid_ref, buf_ref, x_out_ref, fx_out_ref, *,
+            offset: int, max_depth: int, T: int, P: int, iters: int, tol: float,
+            blocks_per_frame: int):
+    dt = buf_ref.dtype
+    eps = float(jnp.finfo(dt).eps)
+    sqrt_eps = math.sqrt(eps)
+
+    x0 = x0_ref[:]  # (BLOCK, 1)
+    K = k_ref[:]  # (BLOCK, 1) int32  (floor of the starting position)
+    valid = valid_ref[:] != 0  # (BLOCK, 1)
+    # buf_ref holds 8 frames' buffers; this cell's frame is one row of it.
+    row = (pl.program_id(0) // blocks_per_frame) % 8
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, CHUNK), 0)
+
+    col_base = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, CHUNK), 1)
+
+    def f(x):
+        """Windowed-sinc eval at x (BLOCK, 1) -> (BLOCK, 1)."""
+        nl = jnp.floor(x)
+        nl_i = nl.astype(jnp.int32)
+        phil = x - nl
+        phir = 1.0 - phil
+
+        md = jnp.minimum(
+            jnp.int32(max_depth), jnp.maximum(offset + nl_i + 1, 0)
+        )
+        md = jnp.minimum(md, T)
+        md = jnp.where(valid, md, 0)
+        mdf = md.astype(dt)
+
+        # Absolute lag-buffer columns: right tap n reads col base_r + n,
+        # left tap m reads col base_l - m.
+        base_r = offset + nl_i  # (BLOCK, 1)
+        base_l = offset + nl_i + 1
+
+        lo = jnp.clip(jnp.min(jnp.where(valid, base_l - md, P)), 0, P - CHUNK)
+        hi = jnp.clip(jnp.max(jnp.where(valid, base_r + md, 0)), 0, P - 1)
+        c_lo = lo // CHUNK
+        nch = jnp.maximum(hi // CHUNK - c_lo + 1, 1)
+
+        sin_l = jnp.sin(jnp.pi * phil)  # (BLOCK, 1)
+        sin_r = jnp.sin(jnp.pi * phir)
+
+        def chunk_body(ci, acc):
+            acc_l, acc_r, at_nl, at_nr = acc
+            c0 = pl.multiple_of((c_lo + ci) * CHUNK, CHUNK)
+            # Dynamic sublane loads are unsupported; load all 8 frame rows
+            # (already VMEM-resident) and mask-reduce to this cell's frame.
+            tile8 = buf_ref[:, pl.ds(c0, CHUNK)]  # (8, CHUNK)
+            tile = jnp.sum(
+                jnp.where(row_ids == row, tile8, 0.0), axis=0, keepdims=True
+            )  # (1, CHUNK)
+            col = c0 + col_base  # (BLOCK, CHUNK)
+
+            n_r = col - base_r
+            act_r = (n_r >= 0) & (n_r <= md)
+            tap_r = n_r.astype(dt)
+            sign_r = 1.0 - 2.0 * (n_r % 2).astype(dt)
+            a_r = jnp.pi * (phir + tap_r)
+            coef_r = (sin_r * sign_r / a_r) * (0.5 + 0.5 * jnp.cos(a_r / (phir + mdf)))
+            acc_r = acc_r + jnp.sum(
+                tile * jnp.where(act_r, coef_r, 0.0), axis=1, keepdims=True
+            )
+
+            n_l = base_l - col
+            act_l = (n_l >= 0) & (n_l <= md)
+            tap_l = n_l.astype(dt)
+            sign_l = 1.0 - 2.0 * (n_l % 2).astype(dt)
+            a_l = jnp.pi * (phil + tap_l)
+            coef_l = (sin_l * sign_l / a_l) * (0.5 + 0.5 * jnp.cos(a_l / (phil + mdf)))
+            acc_l = acc_l + jnp.sum(
+                tile * jnp.where(act_l, coef_l, 0.0), axis=1, keepdims=True
+            )
+
+            # Values at the integer neighbors (for the 1e-10 snap returns).
+            at_nl = at_nl + jnp.sum(jnp.where(n_r == 0, tile, 0.0), axis=1, keepdims=True)
+            at_nr = at_nr + jnp.sum(jnp.where(n_r == 1, tile, 0.0), axis=1, keepdims=True)
+            return acc_l, acc_r, at_nl, at_nr
+
+        zero = jnp.zeros((BLOCK, 1), dtype=dt)
+        acc_l, acc_r, at_nl, at_nr = jax.lax.fori_loop(
+            0, nch, chunk_body, (zero, zero, zero, zero)
+        )
+        result = acc_l + acc_r
+
+        # Integer-snap early returns (periodic.rs:41-42).
+        result = jnp.where(jnp.abs(x - (nl + 1.0)) < 1e-10, at_nr, result)
+        result = jnp.where(jnp.abs(x - nl) < 1e-10, at_nl, result)
+        return result
+
+    # ---- Brent (periodic.rs:103-188), all-lane vectorized, early exit.
+    a0 = x0 - 1.0
+    b0 = x0 + 1.0
+    v0 = a0 + _GOLDEN * (b0 - a0)
+    fv0 = f(v0)
+
+    def cond(st):
+        (it, a, b, x, w, v, fx, fw, fv, done) = st
+        return (it < iters) & jnp.any(done < 0.5)
+
+    def body(st):
+        (it, a, b, x, w, v, fx, fw, fv, done) = st
+        rng = b - a
+        middle = (a + b) * 0.5
+        tol_act = sqrt_eps * jnp.abs(x) + tol / 3.0
+        # `done` carried as a 0/1 float mask (bool vector carries fail to
+        # legalize in Mosaic while_loops).
+        done = jnp.maximum(
+            done,
+            (jnp.abs(x - middle) + rng * 0.5 <= 2.0 * tol_act).astype(done.dtype),
+        )
+
+        new_step = jnp.where(x < middle, _GOLDEN * (b - x), _GOLDEN * (a - x))
+        t_ = (x - w) * (fx - fv)
+        q = (x - v) * (fx - fw)
+        p = (x - v) * q - (x - w) * t_
+        q = 2.0 * q - t_  # sic (periodic.rs:140)
+        p = jnp.where(q > 0.0, -p, p)
+        q = jnp.where(q > 0.0, q, -q)
+        para_ok = (
+            (jnp.abs(x - w) >= tol_act)
+            & (jnp.abs(p) < jnp.abs(new_step * q))
+            & (p > q * (a - x + 2.0 * tol_act))
+            & (p < q * (b - x - 2.0 * tol_act))
+        )
+        new_step = jnp.where(para_ok, p / jnp.where(q == 0.0, 1.0, q), new_step)
+        new_step = jnp.where(
+            jnp.abs(new_step) < tol_act,
+            jnp.where(new_step > 0.0, tol_act, -tol_act),
+            new_step,
+        )
+
+        t = x + new_step
+        ft = f(t)
+
+        better = ft <= fx
+        b_b = jnp.where(t < x, x, b)
+        a_b = jnp.where(t < x, a, x)
+        a_w = jnp.where(t < x, t, a)
+        b_w = jnp.where(t < x, b, t)
+        keep_w = (ft <= fw) | (jnp.abs(w - x) < eps)
+        keep_v = (ft <= fv) | (jnp.abs(v - x) < eps) | (jnp.abs(v - w) < eps)
+
+        na = jnp.where(better, a_b, a_w)
+        nb = jnp.where(better, b_b, b_w)
+        nv = jnp.where(better, w, jnp.where(keep_w, w, jnp.where(keep_v, t, v)))
+        nfv = jnp.where(better, fw, jnp.where(keep_w, fw, jnp.where(keep_v, ft, fv)))
+        nw = jnp.where(better, x, jnp.where(keep_w, t, w))
+        nfw = jnp.where(better, fx, jnp.where(keep_w, ft, fw))
+        nx_ = jnp.where(better, t, x)
+        nfx = jnp.where(better, ft, fx)
+
+        upd = done < 0.5
+        return (
+            it + 1,
+            jnp.where(upd, na, a),
+            jnp.where(upd, nb, b),
+            jnp.where(upd, nx_, x),
+            jnp.where(upd, nw, w),
+            jnp.where(upd, nv, v),
+            jnp.where(upd, nfx, fx),
+            jnp.where(upd, nfw, fw),
+            jnp.where(upd, nfv, fv),
+            done,
+        )
+
+    st = (
+        jnp.int32(0), a0, b0, v0, v0, v0, fv0, fv0, fv0,
+        (~valid).astype(a0.dtype),
+    )
+    st = jax.lax.while_loop(cond, body, st)
+    x_out_ref[:] = st[3]
+    fx_out_ref[:] = st[6]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offset", "max_depth", "T", "max_base", "iters", "tol", "interpret"),
+)
+def brent_refine_pallas(
+    y: jax.Array,
+    x0: jax.Array,
+    valid: jax.Array,
+    offset: int,
+    max_depth: int,
+    T: int,
+    max_base: int | None = None,
+    iters: int = 60,
+    tol: float = 1e-10,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Refine candidates x0 (B, C) against lag buffers y (B, L).
+
+    T is the static tap bound (see voxtpu.sinc._max_effective_depth). All tap
+    reads stay within lag columns [0, 2*maxbase+3] where maxbase bounds
+    offset + x0; the frame buffer prefix of that length is what each grid
+    cell keeps in VMEM.
+    """
+    B, C = x0.shape
+    L = y.shape[-1]
+    dt = y.dtype
+
+    # Pad candidate capacity to a multiple of BLOCK so grid cells never span
+    # two frames.
+    Cp = _round_up(C, BLOCK)
+    if Cp != C:
+        pad = [(0, 0), (0, Cp - C)]
+        x0 = jnp.pad(x0, pad, constant_values=1.0)
+        valid = jnp.pad(valid, pad, constant_values=False)
+    R = B * Cp
+
+    # Columns touched: [0, max_base + T + 3] (right taps reach base + md,
+    # md <= T; max_base bounds offset + floor(x) over all Brent evals).
+    if max_base is None:
+        max_base = T + 2
+    P = _round_up(max_base + T + 4, CHUNK) + CHUNK
+    if L >= P:
+        ybuf = y[:, :P]
+    else:
+        ybuf = jnp.pad(y, [(0, 0), (0, P - L)])
+
+    K = jnp.floor(x0).astype(jnp.int32)
+
+    x0_f = x0.reshape(R, 1)
+    k_f = K.reshape(R, 1)
+    valid_f = valid.astype(jnp.int32).reshape(R, 1)
+
+    blocks_per_frame = Cp // BLOCK
+    # Mosaic block shapes need multiples of (8, 128): ship 8 frames' buffers
+    # per block and let the cell pick its row (re-fetched only when the block
+    # index changes, i.e. once per 8 frames).
+    Bpad = _round_up(B, 8)
+    if Bpad != B:
+        ybuf = jnp.pad(ybuf, [(0, Bpad - B), (0, 0)])
+    kernel = functools.partial(
+        _kernel, offset=offset, max_depth=max_depth, T=T, P=P, iters=iters, tol=tol,
+        blocks_per_frame=blocks_per_frame,
+    )
+    grid = (R // BLOCK,)
+    x_out, fx_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, P),
+                lambda i: (i // (blocks_per_frame * 8), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 1), dt),
+            jax.ShapeDtypeStruct((R, 1), dt),
+        ],
+        interpret=interpret,
+    )(x0_f, k_f, valid_f, ybuf)
+
+    x_out = x_out.reshape(B, Cp)[:, :C]
+    fx_out = fx_out.reshape(B, Cp)[:, :C]
+    return x_out, fx_out

@@ -41,7 +41,19 @@ STRENGTH_SINC_DEPTH = 30  # periodic.rs:433
 REFINE_SINC_DEPTH = 1200  # periodic.rs:444
 
 
-@partial(jax.jit, static_argnames=("sample_rate", "fmin", "fmax", "max_candidates", "threshold"))
+def _default_refine_backend() -> str:
+    try:
+        return "pallas" if jax.default_backend() in ("tpu", "axon") else "jnp"
+    except Exception:
+        return "jnp"
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "sample_rate", "fmin", "fmax", "max_candidates", "threshold", "refine_backend",
+    ),
+)
 def pitch_frames(
     frames: jax.Array,
     sample_rate: float,
@@ -51,6 +63,7 @@ def pitch_frames(
     fmin: float = 50.0,
     fmax: float = 600.0,
     max_candidates: int = 32,
+    refine_backend: str | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Pitch candidates for a batch of (already windowed) frames.
 
@@ -119,9 +132,10 @@ def pitch_frames(
     strn = jnp.where(strn > 1.0, 1.0 / strn, strn)
 
     # --- refinement: Brent over sinc depth 1200 (periodic.rs:440-450)
+    backend = refine_backend or _default_refine_backend()
     xmid, ymid = improve_extremum_sinc(
         self_lag, offset, nx, pos, REFINE_SINC_DEPTH, max_x=max_x + 1.0,
-        lane_mask=cand_c,
+        lane_mask=cand_c, backend=backend,
     )
     xmid = xmid + offset
     ymid = jnp.where(ymid > 1.0, 1.0 / ymid, ymid)

@@ -360,14 +360,41 @@ def improve_extremum_sinc(
     max_depth: int,
     max_x: float | None = None,
     lane_mask: jax.Array | None = None,
+    backend: str = "jnp",
 ) -> tuple[jax.Array, jax.Array]:
     """improve_extremum, Sinc branch, is_max=True (periodic.rs:208-228).
 
     Edge cases ixmid == 0 / ixmid >= nx (periodic.rs:193-194) are handled with
     selects. Returns (xmid, ymid) batched.
+
+    backend: "jnp" (dense XLA), "pallas" (TPU kernel), or "pallas_interpret"
+    (kernel under the interpreter, for CPU equivalence tests).
     """
-    xb, fb = brent_maximize_sinc(y, offset, nx, ixmid, max_depth, max_x=max_x,
-                                 lane_mask=lane_mask)
+    if backend in ("pallas", "pallas_interpret"):
+        from voxtpu.ops.refine_pallas import brent_refine_pallas
+
+        taps = _max_effective_depth(
+            offset, nx, max_depth, max_x if max_x is not None else float(nx)
+        ) + 1
+        mask = (
+            lane_mask
+            if lane_mask is not None
+            else jnp.ones_like(jnp.asarray(ixmid), dtype=bool)
+        )
+        mx = max_x if max_x is not None else float(nx)
+        xb, fb = brent_refine_pallas(
+            jnp.asarray(y),
+            jnp.asarray(ixmid),
+            mask,
+            offset,
+            max_depth,
+            taps - 1,
+            max_base=offset + int(math.floor(mx)) + 3,
+            interpret=backend == "pallas_interpret",
+        )
+    else:
+        xb, fb = brent_maximize_sinc(y, offset, nx, ixmid, max_depth, max_x=max_x,
+                                     lane_mask=lane_mask)
     L = y.shape[-1]
     y0 = y[:, 0][:, None]
     y_last = y[:, min(nx - 1, L - 1)][:, None]
