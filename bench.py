@@ -52,7 +52,7 @@ def main():
         t = np.arange(sr * 3, dtype=np.float32) / sr
         samples = np.sin(2 * np.pi * 150 * t).astype(np.float32)
 
-    reps = 18  # ~51 s of audio
+    reps = 42  # ~119 s of audio (amortizes the ~28 ms per-dispatch tunnel cost)
     signal = np.tile(samples, reps)
     frames = frame_signal(jnp.asarray(signal, dtype=jnp.float32), frame_len, hop)
     frames = jax.device_put(frames)

@@ -67,3 +67,49 @@ def test_pitch_pallas_backend_matches_jnp():
     )
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-7)
+
+
+def test_formant_scan_kernel_matches_jnp():
+    from voxtpu.formants import formant_tracker
+
+    rng = np.random.default_rng(3)
+    F, R, L = 12, 32, 4
+    # realistic: sorted positive resonances with zero tails of varying length
+    rf = np.sort(rng.uniform(100, 4000, (F, R)), axis=1)
+    rb = rng.uniform(10, 300, (F, R))
+    for i in range(F):
+        k = rng.integers(3, 9)
+        rf[i, k:] = 0.0
+        rb[i, k:] = 0.0
+    est_f = jnp.asarray([320.0, 1440.0, 2760.0, 3200.0])
+    est_b = jnp.ones(4)
+
+    f1, b1 = formant_tracker(jnp.asarray(rf), jnp.asarray(rb), est_f, est_b, backend="jnp")
+    f2, b2 = formant_tracker(
+        jnp.asarray(rf), jnp.asarray(rb), est_f, est_b, backend="pallas_interpret"
+    )
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), rtol=0, atol=0)
+
+
+def test_formant_scan_kernel_golden_trajectory():
+    from voxtpu.formants import formant_tracker
+
+    resonances = np.array(
+        [
+            [100.0, 150.0, 200.0, 240.0, 300.0],
+            [110.0, 180.0, 210.0, 230.0, 310.0],
+            [230.0, 270.0, 290.0, 350.0, 360.0],
+        ]
+    )
+    res_bw = np.ones_like(resonances)
+    est = jnp.asarray([140.0, 230.0, 320.0])
+    est_bw = jnp.ones(3)
+    freqs, bws = formant_tracker(
+        jnp.asarray(resonances), jnp.asarray(res_bw), est, est_bw,
+        backend="pallas_interpret",
+    )
+    freqs = np.asarray(freqs)
+    np.testing.assert_allclose(freqs[0], [150.0, 240.0, 300.0])
+    np.testing.assert_allclose(freqs[1], [180.0, 230.0, 310.0])
+    np.testing.assert_allclose(freqs[2], [230.0, 270.0, 290.0])

@@ -174,11 +174,19 @@ def estimate_formants_step(
     return new_f.astype(dt), new_b.astype(dt)
 
 
+def _default_scan_backend() -> str:
+    try:
+        return "pallas" if jax.default_backend() in ("tpu", "axon") else "jnp"
+    except Exception:
+        return "jnp"
+
+
 def formant_tracker(
     res_freq: jax.Array,
     res_bw: jax.Array,
     est_freq: jax.Array,
     est_bw: jax.Array,
+    backend: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Scan the McCandless step over the frame axis.
 
@@ -188,9 +196,21 @@ def formant_tracker(
     Args:
       res_freq/res_bw: (F, R) per-frame resonances.
       est_freq/est_bw: (L,) starting estimates.
+      backend: "jnp" (lax.scan of masked vector ops), "pallas" (single-kernel
+        scan with register-resident state — ~100x fewer per-frame dispatches),
+        or "pallas_interpret" for CPU equivalence tests. Default: pallas on
+        TPU, jnp elsewhere.
 
     Returns (F, L) tracked formant frequencies and bandwidths.
     """
+    backend = backend or _default_scan_backend()
+    if backend in ("pallas", "pallas_interpret"):
+        from voxtpu.ops.formant_scan_pallas import mccandless_scan_pallas
+
+        return mccandless_scan_pallas(
+            res_freq, res_bw, est_freq, est_bw,
+            interpret=backend == "pallas_interpret",
+        )
 
     def step(carry, frame):
         ef, eb = carry

@@ -130,20 +130,21 @@ def mfcc(
     w_pow, w_mag = mel_banks(n, num_coeffs, float(freq_bounds[0]), float(freq_bounds[1]),
                              float(sample_rate), exact)
 
-    # Full-spectrum power/magnitude from the rFFT (the reference's full
-    # complex FFT of a real signal is conjugate-symmetric; mirror the bins).
+    # The reference's full complex FFT of a real signal is conjugate-symmetric
+    # (bin k > n/2 equals bin n-k). Rather than mirroring the spectrum (a
+    # gather), fold the mirror into the host-built filterbank weights:
+    # w_half[k] = w[k] + w[n-k] for 0 < k < n/2.
+    half = n // 2 + 1
+    fold = np.zeros((n, half))
+    for k in range(n):
+        fold[k, k if k <= n // 2 else n - k] = 1.0
+    wp = jnp.asarray((w_pow @ fold).T, dtype=dt)  # (half, num_coeffs)
+    wm = jnp.asarray((w_mag @ fold).T, dtype=dt)
+
     spec = jnp.fft.rfft(x, axis=-1)
     half_pow = (spec.real**2 + spec.imag**2).astype(dt)
     half_mag = jnp.sqrt(half_pow)
-    # mirror: bin k for k > n//2 equals bin n-k
-    idx = np.arange(n)
-    mirror = np.where(idx <= n // 2, idx, n - idx)
-    power = half_pow[..., mirror]
-    mag = half_mag[..., mirror]
-
-    wp = jnp.asarray(w_pow.T, dtype=dt)
-    wm = jnp.asarray(w_mag.T, dtype=dt)
-    energies = power @ wp + mag @ wm
+    energies = half_pow @ wp + half_mag @ wm
 
     if exact:
         # log10(e).max(1e-10): -inf (from e == 0) and all small energies clamp

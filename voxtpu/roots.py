@@ -96,10 +96,14 @@ def laguerre(c: C, start: C, n_lag: jax.Array | int | None = None, iters: int = 
     n_c = C(nf, jnp.zeros_like(nf))
     nm1_c = C(nf - 1.0, jnp.zeros_like(nf))
 
+    # Tie the initial carry to the coefficient data so its device-variance
+    # matches the body outputs under shard_map.
+    tie = re[..., 0] * 0.0
     z0 = C(
-        jnp.broadcast_to(jnp.asarray(start.re, dtype=dt), batch),
-        jnp.broadcast_to(jnp.asarray(start.im, dtype=dt), batch),
+        jnp.broadcast_to(jnp.asarray(start.re, dtype=dt), batch) + tie,
+        jnp.broadcast_to(jnp.asarray(start.im, dtype=dt), batch) + tie,
     )
+    done0 = tie != 0.0  # all-False, data-tied
     eps = jnp.asarray(1.0e-16, dtype=dt)
 
     # A fori_loop (not a Python unroll) keeps the HLO small: with LPC orders
@@ -125,7 +129,7 @@ def laguerre(c: C, start: C, n_lag: jax.Array | int | None = None, iters: int = 
         z = C(jnp.where(upd, z_new.re, z.re), jnp.where(upd, z_new.im, z.im))
         return z, done
 
-    z, _ = jax.lax.fori_loop(0, iters, body, (z0, jnp.zeros(batch, dtype=bool)))
+    z, _ = jax.lax.fori_loop(0, iters, body, (z0, done0))
     return z
 
 
@@ -192,8 +196,9 @@ def find_roots(c: C) -> tuple[C, jax.Array, jax.Array]:
         jnp.where(in_range, jnp.take_along_axis(jnp.broadcast_to(re, batch + (N,)), src, axis=-1), 0),
         jnp.where(in_range, jnp.take_along_axis(jnp.broadcast_to(im, batch + (N,)), src, axis=-1), 0),
     )
-    roots_re = jnp.zeros(batch + (N,), dtype=dt)
-    roots_im = jnp.zeros(batch + (N,), dtype=dt)
+    # data-tied zeros (shard_map variance must match the loop body outputs)
+    roots_re = jnp.broadcast_to(re, batch + (N,)) * 0.0
+    roots_im = jnp.broadcast_to(im, batch + (N,)) * 0.0
 
     start = C(jnp.asarray(-2.0, dtype=dt), jnp.asarray(-2.0, dtype=dt))
     # Laguerre's n is the workspace slice length minus one — the *initial*
