@@ -138,6 +138,13 @@ def _kernel(x0_ref, k_ref, valid_ref, buf_ref, x_out_ref, fx_out_ref, *,
         result = jnp.where(jnp.abs(x - nl) < 1e-10, at_nl, result)
         return result
 
+    if iters == 0:
+        # Evaluation-only mode: the depth-30 strength interpolation
+        # (periodic.rs:429-435) reuses this kernel without the Brent loop.
+        x_out_ref[:] = x0
+        fx_out_ref[:] = f(x0)
+        return
+
     # ---- Brent (periodic.rs:103-188), all-lane vectorized, early exit.
     a0 = x0 - 1.0
     b0 = x0 + 1.0

@@ -115,8 +115,10 @@ def pitch_frames(
     # --- band filter (periodic.rs:439); freq == 0 passes but cannot occur
     cand = is_max & ((freq == 0.0) | ((freq > fmin) & (freq < fmax)))
 
-    # --- compact to capacity C in lag order
-    order = jnp.argsort(~cand, axis=-1, stable=True)[:, :C]
+    # --- compact to capacity C in lag order. top_k (O(n*C)) instead of a
+    # full argsort: keys make valid candidates ascend by lag.
+    keys = jnp.where(cand, -ix.astype(dt)[None, :], jnp.asarray(-jnp.inf, dt))
+    _vals, order = jax.lax.top_k(keys, C)
     cand_c = jnp.take_along_axis(cand, order, axis=-1)
     freq_c = jnp.take_along_axis(freq, order, axis=-1)
 
@@ -128,11 +130,27 @@ def pitch_frames(
     pos = jnp.where(cand_c, pos, float(bi))  # keep dead lanes in-range
     # Band-passed candidates satisfy sr/freq < sr/fmin, bounding the tap count.
     max_x = sample_rate / fmin - offset
-    strn = interpolate_sinc(self_lag, offset, nx, pos, STRENGTH_SINC_DEPTH, max_x=max_x)
+    backend = refine_backend or _default_refine_backend()
+    if backend in ("pallas", "pallas_interpret"):
+        # Same kernel in evaluation-only mode: gather-free strength.
+        from voxtpu.sinc import _max_effective_depth
+        from voxtpu.ops.refine_pallas import brent_refine_pallas
+
+        taps30 = _max_effective_depth(offset, nx, STRENGTH_SINC_DEPTH, max_x) + 1
+        _, strn = brent_refine_pallas(
+            self_lag, pos, cand_c, offset, STRENGTH_SINC_DEPTH, taps30 - 1,
+            max_base=offset + int(math.floor(max_x)) + 3,
+            iters=0,
+            interpret=backend == "pallas_interpret",
+        )
+        # The two outer early returns of interpolate_sinc (periodic.rs:39-40).
+        strn = jnp.where(pos > nx, self_lag[:, min(offset + nx - 1 if offset + nx - 1 >= 0 else 0, 2 * n - 1)][:, None], strn)
+        strn = jnp.where(pos < 0.0, self_lag[:, 0][:, None], strn)
+    else:
+        strn = interpolate_sinc(self_lag, offset, nx, pos, STRENGTH_SINC_DEPTH, max_x=max_x)
     strn = jnp.where(strn > 1.0, 1.0 / strn, strn)
 
     # --- refinement: Brent over sinc depth 1200 (periodic.rs:440-450)
-    backend = refine_backend or _default_refine_backend()
     xmid, ymid = improve_extremum_sinc(
         self_lag, offset, nx, pos, REFINE_SINC_DEPTH, max_x=max_x + 1.0,
         lane_mask=cand_c, backend=backend,
