@@ -19,7 +19,7 @@ import numpy as np
 
 def main():
     import jax
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # noqa: F401
 
     from voxtpu.io_wav import read_wav
     from voxtpu.frame import frame_signal
@@ -59,14 +59,18 @@ def main():
     n_frames = frames.shape[0]
     audio_seconds = n_frames * hop / sr
 
-    fn = jax.jit(lambda f: analyze_frames(f, config))
+    def checksummed(f):
+        # One fused checksum over every output: forces true synchronization
+        # (a bare block_until_ready can under-report under remote-execution
+        # tunnels) with a single device->host roundtrip.
+        out = analyze_frames(f, config)
+        leaves = jax.tree_util.tree_flatten(out)[0]
+        return jnp.stack([jnp.sum(l.astype(jnp.float32)) for l in leaves])
+
+    fn = jax.jit(checksummed)
 
     def run_and_fetch():
-        # Fetch a checksum to the host: forces true synchronization (a bare
-        # block_until_ready can under-report under remote-execution tunnels)
-        # and is the realistic surface — features must reach the host.
-        out = fn(frames)
-        return float(np.asarray(out["f0"]).sum()) + float(np.asarray(out["mfcc"][:, 0]).sum())
+        return float(np.asarray(fn(frames)).sum())
 
     run_and_fetch()  # compile + warmup
 

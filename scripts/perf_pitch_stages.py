@@ -1,0 +1,109 @@
+"""Cumulative sub-stage timing of pitch_frames internals on the real chip."""
+
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def timeit(fn, x, iters=3):
+    import jax
+
+    out = fn(x)
+    np.asarray(jax.tree.flatten(out)[0][0])
+    best = 1e9
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(x)
+        np.asarray(jax.tree.flatten(out)[0][0]).ravel()[:4].sum()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from voxtpu.autocorr import autocorrelate
+    from voxtpu.io_wav import read_wav
+    from voxtpu.frame import frame_signal
+    from voxtpu.windows import hann, hanning_lag
+    from voxtpu.sinc import _max_effective_depth
+    from voxtpu.ops.refine_pallas import brent_refine_pallas
+
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 42
+    n, hop, sr = 4096, 1024, 44100.0
+    fmin, fmax, C = 60.0, 600.0, 32
+    wav = read_wav("tests/fixtures/sample-two_vowels.wav")
+    sig = np.tile(np.asarray(wav.samples, dtype=np.float32), reps)
+    frames = frame_signal(jnp.asarray(sig, dtype=jnp.float32), n, hop)
+    frames = jax.device_put(frames * jnp.asarray(hann(n), dtype=jnp.float32))
+    audio = frames.shape[0] * hop / sr
+    print(f"frames={frames.shape[0]} audio={audio:.1f}s", flush=True)
+
+    bi = n // 2
+    offset = -bi - 1
+    nx = bi - offset
+    dt = jnp.float32
+
+    def s1(fr):  # AC + normalize + lag window + pad
+        sl = autocorrelate(fr, n)
+        sl = sl / jnp.max(jnp.abs(sl), axis=-1, keepdims=True)
+        sl = sl / jnp.asarray(hanning_lag(n), dtype=fr.dtype)
+        return jnp.concatenate([sl, jnp.zeros_like(sl)], axis=-1)
+
+    def s2(fr):  # + maxima + parabolic + band filter
+        sl = s1(fr)
+        seg = sl[:, :bi]
+        is_max = (seg[:, :-2] < seg[:, 1:-1]) & (seg[:, 2:] < seg[:, 1:-1])
+        ix = jnp.arange(1, bi - 1)
+        peak, rev, fwd = seg[:, 1:-1], seg[:, :-2], seg[:, 2:]
+        dr = 0.5 * (fwd - rev)
+        d2r = 2.0 * peak - (rev - fwd)
+        freq = sr / (ix.astype(fr.dtype)[None, :] + dr / d2r)
+        cand = is_max & ((freq == 0.0) | ((freq > fmin) & (freq < fmax)))
+        return sl, freq, cand
+
+    def s3(fr):  # + top_k compaction
+        sl, freq, cand = s2(fr)
+        keys = jnp.where(cand, -jnp.arange(1, bi - 1, dtype=fr.dtype)[None, :], -jnp.inf)
+        _v, order = jax.lax.top_k(keys, C)
+        cand_c = jnp.take_along_axis(cand, order, axis=-1)
+        freq_c = jnp.take_along_axis(freq, order, axis=-1)
+        return sl, freq_c, cand_c
+
+    max_x = sr / fmin - offset
+    t30 = _max_effective_depth(offset, nx, 30, max_x) + 1
+    t1200 = _max_effective_depth(offset, nx, 1200, max_x + 1.0) + 1
+    mb = offset + int(math.floor(max_x)) + 3
+
+    def s4(fr):  # + strength kernel (eval only)
+        sl, freq_c, cand_c = s3(fr)
+        pos = jnp.where(cand_c, sr / freq_c - offset, float(bi))
+        _, strn = brent_refine_pallas(sl, pos, cand_c, offset, 30, t30 - 1,
+                                      max_base=mb, iters=0)
+        return strn
+
+    def s5(fr):  # + full Brent refine kernel
+        sl, freq_c, cand_c = s3(fr)
+        pos = jnp.where(cand_c, sr / freq_c - offset, float(bi))
+        x, fx = brent_refine_pallas(sl, pos, cand_c, offset, 1200, t1200 - 1,
+                                    max_base=mb + 1)
+        return x, fx
+
+    def scalar(fn):
+        def g(fr):
+            out = fn(fr)
+            leaves = jax.tree.flatten(out)[0]
+            return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+        return g
+
+    for name, fn in [("s1 ac", s1), ("s2 maxima", s2), ("s3 topk", s3),
+                     ("s4 strength", s4), ("s5 refine", s5)]:
+        t = timeit(jax.jit(scalar(fn)), frames)
+        print(f"{name:12s}: {t*1e3:8.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

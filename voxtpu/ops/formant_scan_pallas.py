@@ -3,17 +3,20 @@
 The only sequential computation in the framework (spectrum.rs:232-333 per
 frame, carried estimates). In plain XLA, `lax.scan` executes the ~hundreds of
 tiny slot ops of each step as individually-scheduled HLO ops — ~100+ us per
-frame, linear in audio length. Here the whole scan runs inside one kernel:
-slot state lives in vector registers, each frame's resonance row is DMA'd
-HBM->VMEM on demand, and a frame step is ~600 straight-line VPU ops (~1 us).
+frame, linear in audio length. Here the whole scan runs inside one kernel.
 
-Layout: lanes hold slots/resonances — res rows are (1, 128) tiles with 32
-live lanes, slot state (1, 128) with 6 live lanes (NSLOTS), estimates (1, 128)
-with L live lanes. Scalar extraction is a masked lane reduce; all the
-branchy reference logic (nearest-match, dedup with the moving `w` pointer,
-step-4 fills, the stable slot sort, winner write-back) is implemented as
-masked lane selects, preserving the exact semantics of
-voxtpu.formants.estimate_formants_step (pinned by interpret-mode tests).
+Design notes:
+- Frame resonance rows stream HBM->VMEM in blocks of `TBLK` frames (one DMA
+  per block instead of per frame), outputs accumulate in a VMEM block and
+  stream back the same way.
+- The 6 formant slots and L estimates live as *individual scalars* (Python
+  lists of traced values on the scalar unit), not vectors: the reference's
+  branchy logic (nearest-match, dedup with the moving `w` pointer, step-4
+  fills, the stable slot sort, winner write-back) is straight-line scalar
+  select code, with exactly one vector op per frame step per estimate slot
+  (the 128-lane nearest-resonance argmin reduce).
+- Semantics are pinned to voxtpu.formants.estimate_formants_step by
+  interpret-mode tests (exact equality).
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 NSLOTS = 6
+TBLK = 128  # frames per DMA block
 BIG = 3.0e38
 
 
@@ -34,147 +38,178 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _sel(i, options):
+    """Select options[i] for traced scalar i from a static list (scalar unit)."""
+    out = options[0]
+    for k in range(1, len(options)):
+        out = jnp.where(i == k, options[k], out)
+    return out
+
+
 def _kernel(est_f0_ref, est_b0_ref, rf_hbm, rb_hbm, outf_hbm, outb_hbm,
             rf_scr, rb_scr, of_scr, ob_scr, sems, *, F: int, L: int, R: int):
-    dt = est_f0_ref.dtype
+    dt = rf_scr.dtype
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     res_mask = lane < R
-    slot_mask = lane < NSLOTS
+    n_blocks = (F + TBLK - 1) // TBLK
 
-    def ext(v, i):
-        """Extract lane i of a (1, LANES) vector as a scalar."""
-        return jnp.sum(jnp.where(lane == i, v, 0.0))
+    def block_loop(blk, est):
+        est_f, est_b = est  # Python-style tuple of (L,)-scalar tuples? No:
+        # carried as two (1, LANES) rows; scalars extracted below.
 
-    def exti(v, i):
-        return jnp.sum(jnp.where(lane == i, v, 0))
-
-    def put(v, i, value):
-        """Set lane i (static or traced) to scalar value."""
-        return jnp.where(lane == i, value, v)
-
-    def frame_step(it, carry):
-        est_f, est_b = carry  # (1, LANES), L live lanes
-
-        cp = pltpu.make_async_copy(rf_hbm.at[pl.ds(it, 1), :], rf_scr, sems.at[0])
+        # Stream this block of frames in.
+        cp = pltpu.make_async_copy(
+            rf_hbm.at[pl.ds(blk * TBLK, TBLK), :], rf_scr, sems.at[0]
+        )
         cp.start()
-        cp2 = pltpu.make_async_copy(rb_hbm.at[pl.ds(it, 1), :], rb_scr, sems.at[1])
+        cp2 = pltpu.make_async_copy(
+            rb_hbm.at[pl.ds(blk * TBLK, TBLK), :], rb_scr, sems.at[1]
+        )
         cp2.start()
         cp.wait()
         cp2.wait()
-        rfreq = rf_scr[:]
-        rbw = rb_scr[:]
 
-        # --- Step 2: nearest resonance per estimate slot.
-        sf = jnp.zeros((1, LANES), dtype=dt)
-        sb = jnp.zeros((1, LANES), dtype=dt)
-        sv = jnp.zeros((1, LANES), dtype=dt)  # 0/1 slot validity
-        for s in range(min(L, NSLOTS)):
-            est_s = ext(est_f, s)
-            dist = jnp.where(res_mask, jnp.abs(rfreq - est_s), BIG)
-            dmin = jnp.min(dist)
-            imin = jnp.min(jnp.where(dist == dmin, lane, LANES))  # first win
-            sf = put(sf, s, ext(rfreq, imin))
-            sb = put(sb, s, ext(rbw, imin))
-            sv = put(sv, s, 1.0)
+        def frame_step(t, est):
+            est_f, est_b = est
+            # est scalars
+            ef = [jnp.sum(jnp.where(lane == i, est_f, 0.0)) for i in range(L)]
+            eb = [jnp.sum(jnp.where(lane == i, est_b, 0.0)) for i in range(L)]
 
-        # --- Step 3: dedup with moving pointer w.
-        w = jnp.int32(0)
-        unassigned = jnp.asarray(0.0, dtype=dt)
-        for r in range(1, NSLOTS):
-            vr_f = ext(sf, r)
-            vr_b = ext(sb, r)
-            vr_valid = ext(sv, r) > 0.5
-            sw_f = ext(sf, w)
-            sw_b = ext(sb, w)
-            same = vr_valid & (vr_f == sw_f) & (vr_b == sw_b)
+            rfreq = rf_scr[pl.ds(t, 1), :]  # (1, LANES)
+            rbw = rb_scr[pl.ds(t, 1), :]
 
-            est_r = ext(est_f, min(r, L - 1))
-            est_w = ext(est_f, jnp.minimum(w, L - 1))
-            closer_r = jnp.abs(vr_f - est_r) < jnp.abs(vr_f - est_w)
+            # --- Step 2: nearest resonance per estimate slot (vector part).
+            sf = [jnp.asarray(0.0, dt)] * NSLOTS
+            sb = [jnp.asarray(0.0, dt)] * NSLOTS
+            sv = [False] * NSLOTS  # python bools -> traced after assignment
+            for s in range(min(L, NSLOTS)):
+                dist = jnp.where(res_mask, jnp.abs(rfreq - ef[s]), BIG)
+                dmin = jnp.min(dist)
+                first = jnp.min(jnp.where(dist == dmin, lane, LANES))
+                sf[s] = jnp.sum(jnp.where(lane == first, rfreq, 0.0))
+                sb[s] = jnp.sum(jnp.where(lane == first, rbw, 0.0))
+                sv[s] = jnp.asarray(True)
 
-            inval_w = same & closer_r
-            inval_r = same & ~closer_r
-            sv = jnp.where((lane == w) & inval_w, 0.0, sv)
-            sv = jnp.where((lane == r) & inval_r, 0.0, sv)
-            unassigned = jnp.maximum(unassigned, same.astype(dt))
-            w = jnp.where(inval_w | (~same & vr_valid), r, w)
+            for s in range(min(L, NSLOTS), NSLOTS):
+                sv[s] = jnp.asarray(False)
 
-        # --- Step 4: fill empty slots with unassigned peaks (j < 6 only;
-        # j >= 6 iterations are provably no-ops, see voxtpu/formants.py).
-        for j in range(min(R, NSLOTS)):
-            pf = ext(rfreq, j)
-            pb = ext(rbw, j)
-            contains = jnp.max(
-                jnp.where((sv > 0.5) & (sf == pf) & (sb == pb), 1.0, 0.0)
-            ) > 0.5
-            can = (unassigned > 0.5) & ~contains
+            # --- Step 3: dedup with moving pointer w (scalar).
+            w = jnp.int32(0)
+            unassigned = jnp.asarray(False)
+            for r in range(1, NSLOTS):
+                sw_f = _sel(w, sf[:r])
+                sw_b = _sel(w, sb[:r])
+                same = sv[r] & (sf[r] == sw_f) & (sb[r] == sw_b)
+                est_r = ef[min(r, L - 1)]
+                est_w = _sel(jnp.minimum(w, L - 1), ef)
+                closer_r = jnp.abs(sf[r] - est_r) < jnp.abs(sf[r] - est_w)
+                inval_w = same & closer_r
+                inval_r = same & ~closer_r
+                for k in range(r):
+                    sv[k] = jnp.where(inval_w & (w == k), False, sv[k])
+                sv[r] = jnp.where(inval_r, False, sv[r])
+                unassigned = unassigned | same
+                w = jnp.where(inval_w | (~same & sv[r]), r, w)
 
-            b1 = can & (ext(sv, j) < 0.5)
-            sf = jnp.where((lane == j) & b1, pf, sf)
-            sb = jnp.where((lane == j) & b1, pb, sb)
-            sv = jnp.where((lane == j) & b1, 1.0, sv)
-            can = can & ~b1
+            # --- Step 4: fill empty slots (j >= 6 iterations are no-ops).
+            for j in range(min(R, NSLOTS)):
+                pf = jnp.sum(jnp.where(lane == j, rfreq, 0.0))
+                pb = jnp.sum(jnp.where(lane == j, rbw, 0.0))
+                contains = jnp.asarray(False)
+                for k in range(NSLOTS):
+                    contains = contains | (sv[k] & (sf[k] == pf) & (sb[k] == pb))
+                can = unassigned & ~contains
 
-            if j > 0:
-                b2 = can & (ext(sv, j - 1) < 0.5)
-                oldf, oldb, oldv = ext(sf, j), ext(sb, j), ext(sv, j)
-                sf = jnp.where((lane == j - 1) & b2, oldf, sf)
-                sb = jnp.where((lane == j - 1) & b2, oldb, sb)
-                sv = jnp.where((lane == j - 1) & b2, oldv, sv)
-                sf = jnp.where((lane == j) & b2, pf, sf)
-                sb = jnp.where((lane == j) & b2, pb, sb)
-                sv = jnp.where((lane == j) & b2, 1.0, sv)
-                can = can & ~b2
+                b1 = can & ~sv[j]
+                sf[j] = jnp.where(b1, pf, sf[j])
+                sb[j] = jnp.where(b1, pb, sb[j])
+                sv[j] = jnp.where(b1, True, sv[j])
+                can = can & ~b1
 
-            if j + 1 < NSLOTS:
-                b3 = can & (ext(sv, j + 1) < 0.5)
-                oldf, oldb, oldv = ext(sf, j), ext(sb, j), ext(sv, j)
-                sf = jnp.where((lane == j + 1) & b3, oldf, sf)
-                sb = jnp.where((lane == j + 1) & b3, oldb, sb)
-                sv = jnp.where((lane == j + 1) & b3, oldv, sv)
-                sf = jnp.where((lane == j) & b3, pf, sf)
-                sb = jnp.where((lane == j) & b3, pb, sb)
-                sv = jnp.where((lane == j) & b3, 1.0, sv)
+                if j > 0:
+                    b2 = can & ~sv[j - 1]
+                    sf[j - 1] = jnp.where(b2, sf[j], sf[j - 1])
+                    sb[j - 1] = jnp.where(b2, sb[j], sb[j - 1])
+                    sv[j - 1] = jnp.where(b2, sv[j], sv[j - 1])
+                    sf[j] = jnp.where(b2, pf, sf[j])
+                    sb[j] = jnp.where(b2, pb, sb[j])
+                    sv[j] = jnp.where(b2, True, sv[j])
+                    can = can & ~b2
 
-        # --- Step 5: stable sort of the 6 slots, invalid (None) first, then
-        # ascending frequency — unrolled insertion sort (stable).
-        key = jnp.where(slot_mask & (sv > 0.5), sf, -BIG)
-        for i in range(1, NSLOTS):
-            for j in range(i, 0, -1):
-                kj = ext(key, j)
-                kjm = ext(key, j - 1)
-                swap = kjm > kj
-                fj, fjm = ext(sf, j), ext(sf, j - 1)
-                bj, bjm = ext(sb, j), ext(sb, j - 1)
-                vj, vjm = ext(sv, j), ext(sv, j - 1)
-                sf = jnp.where((lane == j) & swap, fjm, jnp.where((lane == j - 1) & swap, fj, sf))
-                sb = jnp.where((lane == j) & swap, bjm, jnp.where((lane == j - 1) & swap, bj, sb))
-                sv = jnp.where((lane == j) & swap, vjm, jnp.where((lane == j - 1) & swap, vj, sv))
-                key = jnp.where((lane == j) & swap, kjm, jnp.where((lane == j - 1) & swap, kj, key))
+                if j + 1 < NSLOTS:
+                    b3 = can & ~sv[j + 1]
+                    sf[j + 1] = jnp.where(b3, sf[j], sf[j + 1])
+                    sb[j + 1] = jnp.where(b3, sb[j], sb[j + 1])
+                    sv[j + 1] = jnp.where(b3, sv[j], sv[j + 1])
+                    sf[j] = jnp.where(b3, pf, sf[j])
+                    sb[j] = jnp.where(b3, pb, sb[j])
+                    sv[j] = jnp.where(b3, True, sv[j])
 
-        # --- Write-back: winners (valid, freq > 0) into leading estimates.
-        count = jnp.int32(0)
-        for p in range(NSLOTS):
-            is_w = (ext(sv, p) > 0.5) & (ext(sf, p) > 0.0)
-            tgt = count
-            upd = is_w & (tgt < L)
-            est_f = jnp.where((lane == tgt) & upd, ext(sf, p), est_f)
-            est_b = jnp.where((lane == tgt) & upd, ext(sb, p), est_b)
-            count = count + is_w.astype(jnp.int32)
+            # --- Step 5: stable insertion sort, invalid first then by freq.
+            key = [jnp.where(sv[i], sf[i], -BIG) for i in range(NSLOTS)]
+            for i in range(1, NSLOTS):
+                for j in range(i, 0, -1):
+                    swap = key[j - 1] > key[j]
 
-        of_scr[:] = est_f
-        ob_scr[:] = est_b
-        cp3 = pltpu.make_async_copy(of_scr, outf_hbm.at[pl.ds(it, 1), :], sems.at[2])
+                    def sw(arr):
+                        a, b = arr[j - 1], arr[j]
+                        arr[j - 1] = jnp.where(swap, b, a)
+                        arr[j] = jnp.where(swap, a, b)
+
+                    sw(key)
+                    sw(sf)
+                    sw(sb)
+                    sw(sv)
+
+            # --- Write-back: winners (valid, freq>0) into leading estimates.
+            count = jnp.int32(0)
+            for p in range(NSLOTS):
+                is_w = sv[p] & (sf[p] > 0.0)
+                for i in range(L):
+                    upd = is_w & (count == i)
+                    ef[i] = jnp.where(upd, sf[p], ef[i])
+                    eb[i] = jnp.where(upd, sb[p], eb[i])
+                count = count + is_w.astype(jnp.int32)
+
+            # Rebuild the (1, LANES) carry rows and store into the out block.
+            est_f = jnp.zeros((1, LANES), dtype=dt)
+            est_b = jnp.zeros((1, LANES), dtype=dt)
+            for i in range(L):
+                est_f = jnp.where(lane == i, ef[i], est_f)
+                est_b = jnp.where(lane == i, eb[i], est_b)
+            of_scr[pl.ds(t, 1), :] = est_f
+            ob_scr[pl.ds(t, 1), :] = est_b
+            return est_f, est_b
+
+        # Frames beyond F (tail of the last block) still run — their garbage
+        # rows are never copied out thanks to the clamped out-DMA below; but
+        # they must not corrupt the carry.
+        valid_in_block = jnp.minimum(F - blk * TBLK, TBLK)
+
+        def guarded(t, est):
+            new_f, new_b = frame_step(t, est)
+            keep = t < valid_in_block
+            return (
+                jnp.where(keep, new_f, est[0]),
+                jnp.where(keep, new_b, est[1]),
+            )
+
+        est_f, est_b = jax.lax.fori_loop(0, TBLK, guarded, (est_f, est_b))
+
+        cp3 = pltpu.make_async_copy(
+            of_scr, outf_hbm.at[pl.ds(blk * TBLK, TBLK), :], sems.at[2]
+        )
         cp3.start()
-        cp4 = pltpu.make_async_copy(ob_scr, outb_hbm.at[pl.ds(it, 1), :], sems.at[3])
+        cp4 = pltpu.make_async_copy(
+            ob_scr, outb_hbm.at[pl.ds(blk * TBLK, TBLK), :], sems.at[3]
+        )
         cp4.start()
         cp3.wait()
         cp4.wait()
         return est_f, est_b
 
-    est_f = est_f0_ref[:]
-    est_b = est_b0_ref[:]
-    jax.lax.fori_loop(0, F, frame_step, (est_f, est_b))
+    est0 = (est_f0_ref[:], est_b0_ref[:])
+    jax.lax.fori_loop(0, n_blocks, block_loop, est0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -196,8 +231,9 @@ def mccandless_scan_pallas(
     if R > LANES:
         raise ValueError(f"R={R} exceeds lane capacity {LANES}")
 
-    rf = jnp.pad(res_freq, [(0, 0), (0, LANES - R)])
-    rb = jnp.pad(res_bw, [(0, 0), (0, LANES - R)])
+    Fp = _round_up(F, TBLK)
+    rf = jnp.pad(res_freq, [(0, Fp - F), (0, LANES - R)])
+    rb = jnp.pad(res_bw, [(0, Fp - F), (0, LANES - R)])
     ef0 = jnp.pad(est_freq[None, :], [(0, 0), (0, LANES - L)])
     eb0 = jnp.pad(est_bw[None, :], [(0, 0), (0, LANES - L)])
 
@@ -215,17 +251,17 @@ def mccandless_scan_pallas(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((F, LANES), dt),
-            jax.ShapeDtypeStruct((F, LANES), dt),
+            jax.ShapeDtypeStruct((Fp, LANES), dt),
+            jax.ShapeDtypeStruct((Fp, LANES), dt),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, LANES), dt),
-            pltpu.VMEM((1, LANES), dt),
-            pltpu.VMEM((1, LANES), dt),
-            pltpu.VMEM((1, LANES), dt),
+            pltpu.VMEM((TBLK, LANES), dt),
+            pltpu.VMEM((TBLK, LANES), dt),
+            pltpu.VMEM((TBLK, LANES), dt),
+            pltpu.VMEM((TBLK, LANES), dt),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
     )(ef0, eb0, rf, rb)
 
-    return outf[:, :L], outb[:, :L]
+    return outf[:F, :L], outb[:F, :L]

@@ -48,9 +48,9 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(x0_ref, k_ref, valid_ref, buf_ref, x_out_ref, fx_out_ref, *,
+def _kernel(x0_ref, k_ref, valid_ref, buf_ref, x_out_ref, fx_out_ref, strn_out_ref, *,
             offset: int, max_depth: int, T: int, P: int, iters: int, tol: float,
-            blocks_per_frame: int):
+            blocks_per_frame: int, strength_depth: int | None):
     dt = buf_ref.dtype
     eps = float(jnp.finfo(dt).eps)
     sqrt_eps = math.sqrt(eps)
@@ -64,7 +64,7 @@ def _kernel(x0_ref, k_ref, valid_ref, buf_ref, x_out_ref, fx_out_ref, *,
 
     col_base = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, CHUNK), 1)
 
-    def f(x):
+    def f(x, depth=None):
         """Windowed-sinc eval at x (BLOCK, 1) -> (BLOCK, 1)."""
         nl = jnp.floor(x)
         nl_i = nl.astype(jnp.int32)
@@ -72,7 +72,8 @@ def _kernel(x0_ref, k_ref, valid_ref, buf_ref, x_out_ref, fx_out_ref, *,
         phir = 1.0 - phil
 
         md = jnp.minimum(
-            jnp.int32(max_depth), jnp.maximum(offset + nl_i + 1, 0)
+            jnp.int32(max_depth if depth is None else depth),
+            jnp.maximum(offset + nl_i + 1, 0),
         )
         md = jnp.minimum(md, T)
         md = jnp.where(valid, md, 0)
@@ -138,9 +139,15 @@ def _kernel(x0_ref, k_ref, valid_ref, buf_ref, x_out_ref, fx_out_ref, *,
         result = jnp.where(jnp.abs(x - nl) < 1e-10, at_nl, result)
         return result
 
+    if strength_depth is not None:
+        # Fused depth-30 strength eval at x0 (periodic.rs:429-435) before the
+        # refinement — one kernel pass instead of two launches.
+        strn_out_ref[:] = f(x0, strength_depth)
+    else:
+        strn_out_ref[:] = x0
+
     if iters == 0:
-        # Evaluation-only mode: the depth-30 strength interpolation
-        # (periodic.rs:429-435) reuses this kernel without the Brent loop.
+        # Evaluation-only mode: interpolation without the Brent loop.
         x_out_ref[:] = x0
         fx_out_ref[:] = f(x0)
         return
@@ -232,7 +239,8 @@ def _kernel(x0_ref, k_ref, valid_ref, buf_ref, x_out_ref, fx_out_ref, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("offset", "max_depth", "T", "max_base", "iters", "tol", "interpret"),
+    static_argnames=("offset", "max_depth", "T", "max_base", "iters", "tol",
+                     "interpret", "strength_depth"),
 )
 def brent_refine_pallas(
     y: jax.Array,
@@ -245,7 +253,8 @@ def brent_refine_pallas(
     iters: int = 60,
     tol: float = 1e-10,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+    strength_depth: int | None = None,
+) -> tuple[jax.Array, jax.Array] | tuple[jax.Array, jax.Array, jax.Array]:
     """Refine candidates x0 (B, C) against lag buffers y (B, L).
 
     T is the static tap bound (see voxtpu.sinc._max_effective_depth). All tap
@@ -291,10 +300,10 @@ def brent_refine_pallas(
         ybuf = jnp.pad(ybuf, [(0, Bpad - B), (0, 0)])
     kernel = functools.partial(
         _kernel, offset=offset, max_depth=max_depth, T=T, P=P, iters=iters, tol=tol,
-        blocks_per_frame=blocks_per_frame,
+        blocks_per_frame=blocks_per_frame, strength_depth=strength_depth,
     )
     grid = (R // BLOCK,)
-    x_out, fx_out = pl.pallas_call(
+    x_out, fx_out, strn_out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -310,8 +319,10 @@ def brent_refine_pallas(
         out_specs=[
             pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((R, 1), dt),
             jax.ShapeDtypeStruct((R, 1), dt),
             jax.ShapeDtypeStruct((R, 1), dt),
         ],
@@ -320,4 +331,7 @@ def brent_refine_pallas(
 
     x_out = x_out.reshape(B, Cp)[:, :C]
     fx_out = fx_out.reshape(B, Cp)[:, :C]
+    if strength_depth is not None:
+        strn_out = strn_out.reshape(B, Cp)[:, :C]
+        return x_out, fx_out, strn_out
     return x_out, fx_out

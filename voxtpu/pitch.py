@@ -126,35 +126,43 @@ def pitch_frames(
     nx = bi - offset  # == 2*bi + 1
 
     # --- strength: sinc depth 30 at n = sr/freq - offset (periodic.rs:429-435)
+    # --- refinement: Brent over sinc depth 1200 (periodic.rs:440-450)
     pos = sample_rate / freq_c - offset
     pos = jnp.where(cand_c, pos, float(bi))  # keep dead lanes in-range
     # Band-passed candidates satisfy sr/freq < sr/fmin, bounding the tap count.
     max_x = sample_rate / fmin - offset
     backend = refine_backend or _default_refine_backend()
     if backend in ("pallas", "pallas_interpret"):
-        # Same kernel in evaluation-only mode: gather-free strength.
+        # One fused kernel pass computes the depth-30 strength at pos AND the
+        # Brent-refined extremum (the two hot loops share the VMEM-resident
+        # lag buffers).
         from voxtpu.sinc import _max_effective_depth
         from voxtpu.ops.refine_pallas import brent_refine_pallas
 
-        taps30 = _max_effective_depth(offset, nx, STRENGTH_SINC_DEPTH, max_x) + 1
-        _, strn = brent_refine_pallas(
-            self_lag, pos, cand_c, offset, STRENGTH_SINC_DEPTH, taps30 - 1,
-            max_base=offset + int(math.floor(max_x)) + 3,
-            iters=0,
+        taps = _max_effective_depth(offset, nx, REFINE_SINC_DEPTH, max_x + 1.0) + 1
+        xb, fb, strn = brent_refine_pallas(
+            self_lag, pos, cand_c, offset, REFINE_SINC_DEPTH, taps - 1,
+            max_base=offset + int(math.floor(max_x + 1.0)) + 3,
+            strength_depth=STRENGTH_SINC_DEPTH,
             interpret=backend == "pallas_interpret",
         )
-        # The two outer early returns of interpolate_sinc (periodic.rs:39-40).
-        strn = jnp.where(pos > nx, self_lag[:, min(offset + nx - 1 if offset + nx - 1 >= 0 else 0, 2 * n - 1)][:, None], strn)
+        # interpolate_sinc's outer early returns (periodic.rs:39-40).
+        y_edge = self_lag[:, bi][:, None]
+        strn = jnp.where(pos > nx, y_edge, strn)
         strn = jnp.where(pos < 0.0, self_lag[:, 0][:, None], strn)
+        # improve_extremum's edge selects (periodic.rs:193-194).
+        y_last = self_lag[:, nx - 1][:, None]
+        at_zero = pos == 0.0
+        past_end = pos >= nx
+        xmid = jnp.where(at_zero, 0.0, jnp.where(past_end, float(nx), xb))
+        ymid = jnp.where(at_zero, self_lag[:, 0][:, None], jnp.where(past_end, y_last, fb))
     else:
         strn = interpolate_sinc(self_lag, offset, nx, pos, STRENGTH_SINC_DEPTH, max_x=max_x)
+        xmid, ymid = improve_extremum_sinc(
+            self_lag, offset, nx, pos, REFINE_SINC_DEPTH, max_x=max_x + 1.0,
+            lane_mask=cand_c, backend=backend,
+        )
     strn = jnp.where(strn > 1.0, 1.0 / strn, strn)
-
-    # --- refinement: Brent over sinc depth 1200 (periodic.rs:440-450)
-    xmid, ymid = improve_extremum_sinc(
-        self_lag, offset, nx, pos, REFINE_SINC_DEPTH, max_x=max_x + 1.0,
-        lane_mask=cand_c, backend=backend,
-    )
     xmid = xmid + offset
     ymid = jnp.where(ymid > 1.0, 1.0 / ymid, ymid)
     freq_r = sample_rate / xmid
