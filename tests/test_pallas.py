@@ -113,3 +113,19 @@ def test_formant_scan_kernel_golden_trajectory():
     np.testing.assert_allclose(freqs[0], [150.0, 240.0, 300.0])
     np.testing.assert_allclose(freqs[1], [180.0, 230.0, 310.0])
     np.testing.assert_allclose(freqs[2], [230.0, 270.0, 290.0])
+
+
+def test_burg_kernel_matches_jnp():
+    from voxtpu.lpc import burg
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((11, 256))
+    c1, s1 = burg(jnp.asarray(x), 13, backend="jnp")
+    c2, s2 = burg(jnp.asarray(x), 13, backend="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(s1))
+
+    z = jnp.zeros((3, 64))
+    c3, s3 = burg(z, 4, backend="pallas_interpret")
+    from voxtpu import errors
+    assert np.all(np.asarray(s3) & errors.LPC_DENUM_NONPOS)

@@ -21,11 +21,35 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["autocorrelate"]
+__all__ = ["autocorrelate", "power_and_autocorrelate"]
 
 
 def _next_pow2(n: int) -> int:
     return 1 << (int(n) - 1).bit_length()
+
+
+def power_and_autocorrelate(
+    x: jax.Array, n_coeffs: int | None = None, quirk: bool = True
+) -> tuple[jax.Array, jax.Array]:
+    """Autocorrelation plus the half power spectrum it was computed from.
+
+    For power-of-two frames nfft == 2n, so the n-point FFT bins the MFCC
+    filterbank needs are exactly the even bins of this power spectrum
+    (X_n[k] == X_2n[2k] for a zero-padded real frame) — one batched FFT
+    serves both features. Returns (power (..., nfft//2+1), ac (..., n_coeffs)).
+    """
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    if n_coeffs is None:
+        n_coeffs = n
+    nfft = _next_pow2(2 * n)
+    spec = jnp.fft.rfft(x, n=nfft, axis=-1)
+    power = (spec.real**2 + spec.imag**2).astype(x.dtype)
+    ac = jnp.fft.irfft(power, n=nfft, axis=-1)[..., :n_coeffs].astype(x.dtype)
+    if quirk:
+        x0 = x[..., :1]
+        ac = ac - x0 * x[..., :n_coeffs] + x0
+    return power, ac
 
 
 def autocorrelate(x: jax.Array, n_coeffs: int | None = None, quirk: bool = True) -> jax.Array:

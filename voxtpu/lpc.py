@@ -81,7 +81,14 @@ def levinson(ac: jax.Array, n_coeffs: int) -> jax.Array:
     return a
 
 
-def burg(x: jax.Array, n_coeffs: int) -> tuple[jax.Array, jax.Array]:
+def _default_backend() -> str:
+    try:
+        return "pallas" if jax.default_backend() in ("tpu", "axon") else "jnp"
+    except Exception:
+        return "jnp"
+
+
+def burg(x: jax.Array, n_coeffs: int, backend: str | None = None) -> tuple[jax.Array, jax.Array]:
     """Burg's method LPC on (windowed) samples, reference-exact.
 
     Transcribes `lpc_praat_mut` (spectrum.rs:101-146) including its
@@ -108,6 +115,12 @@ def burg(x: jax.Array, n_coeffs: int) -> tuple[jax.Array, jax.Array]:
         raise ValueError("burg needs at least 2 samples per frame")
     batch = x.shape[:-1]
     dt = x.dtype
+
+    backend = backend or _default_backend()
+    if backend in ("pallas", "pallas_interpret") and len(batch) == 1:
+        from voxtpu.ops.burg_pallas import burg_pallas
+
+        return burg_pallas(x, p, interpret=backend == "pallas_interpret")
 
     zeros1 = jnp.zeros(batch + (1,), dtype=dt)
     b1 = jnp.concatenate([x[..., : n - 1], zeros1], axis=-1)

@@ -118,10 +118,14 @@ def mfcc(
     freq_bounds: tuple[float, float],
     sample_rate: float,
     exact: bool = True,
+    half_power: jax.Array | None = None,
 ) -> jax.Array:
     """MFCC of (already windowed) frames, batched over leading axes.
 
     Reference: `[T]::mfcc` (spectrum.rs:410-440). Returns (..., num_coeffs).
+
+    half_power: optional precomputed |rfft(x)|^2, (..., n//2+1) — lets the
+    pipeline reuse the autocorrelation FFT (X_n[k] == X_2n[2k]).
     """
     x = jnp.asarray(x)
     n = x.shape[-1]
@@ -141,8 +145,11 @@ def mfcc(
     wp = jnp.asarray((w_pow @ fold).T, dtype=dt)  # (half, num_coeffs)
     wm = jnp.asarray((w_mag @ fold).T, dtype=dt)
 
-    spec = jnp.fft.rfft(x, axis=-1)
-    half_pow = (spec.real**2 + spec.imag**2).astype(dt)
+    if half_power is None:
+        spec = jnp.fft.rfft(x, axis=-1)
+        half_pow = (spec.real**2 + spec.imag**2).astype(dt)
+    else:
+        half_pow = half_power
     half_mag = jnp.sqrt(half_pow)
     energies = half_pow @ wp + half_mag @ wm
 

@@ -89,11 +89,29 @@ def analyze_frames(frames: jax.Array, config: AnalysisConfig) -> dict:
 
     out["rms"] = waves.rms(frames)
 
+    # When pitch and MFCC both run on the same Hann-windowed frame (no
+    # preemphasis) and the frame is a power of two, one batched FFT serves
+    # both: the autocorrelation's 2n-point power spectrum's even bins ARE the
+    # n-point MFCC power bins (X_n[k] == X_2n[2k] for zero-padded real input).
+    share_fft = (
+        config.pitch.enabled
+        and config.mfcc.enabled
+        and config.mfcc.preemphasis_factor is None
+        and (n & (n - 1)) == 0
+    )
+    shared_ac = None
+    shared_half_power = None
+    if share_fft:
+        from voxtpu.autocorr import power_and_autocorrelate
+
+        power2n, shared_ac = power_and_autocorrelate(windowed, n)
+        shared_half_power = power2n[..., ::2]
+
     if config.pitch.enabled:
         p = config.pitch
         freq, strength, valid = pitch_frames(
             windowed, sr, threshold=p.threshold, fmin=p.fmin, fmax=p.fmax,
-            max_candidates=p.max_candidates,
+            max_candidates=p.max_candidates, precomputed_ac=shared_ac,
         )
         out["pitch_candidates_freq"] = freq
         out["pitch_candidates_strength"] = strength
@@ -117,7 +135,10 @@ def analyze_frames(frames: jax.Array, config: AnalysisConfig) -> dict:
         if m.preemphasis_factor is not None:
             x = waves.preemphasis(x, m.preemphasis_factor)
         x = x * window
-        out["mfcc"] = mfcc(x, m.num_coeffs, (m.freq_lo, m.freq_hi), sr, exact=m.exact)
+        out["mfcc"] = mfcc(
+            x, m.num_coeffs, (m.freq_lo, m.freq_hi), sr, exact=m.exact,
+            half_power=shared_half_power,
+        )
 
     return out
 

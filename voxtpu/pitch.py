@@ -64,6 +64,7 @@ def pitch_frames(
     fmax: float = 600.0,
     max_candidates: int = 32,
     refine_backend: str | None = None,
+    precomputed_ac: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Pitch candidates for a batch of (already windowed) frames.
 
@@ -92,7 +93,7 @@ def pitch_frames(
     C = max_candidates
 
     # --- lag-domain normalized autocorrelation (periodic.rs:400-411)
-    self_lag = autocorrelate(frames, n)
+    self_lag = autocorrelate(frames, n) if precomputed_ac is None else precomputed_ac
     self_lag = self_lag / jnp.max(jnp.abs(self_lag), axis=-1, keepdims=True)
     self_lag = self_lag / jnp.asarray(hanning_lag(n), dtype=dt)
     self_lag = jnp.concatenate([self_lag, jnp.zeros_like(self_lag)], axis=-1)
