@@ -48,7 +48,8 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(x0_ref, k_ref, valid_ref, buf_ref, x_out_ref, fx_out_ref, strn_out_ref, *,
+def _kernel(x0_ref, k_ref, valid_ref, row_ref, buf_ref, x_out_ref, fx_out_ref,
+            strn_out_ref, *,
             offset: int, max_depth: int, T: int, P: int, iters: int, tol: float,
             blocks_per_frame: int, strength_depth: int | None):
     dt = buf_ref.dtype
@@ -58,9 +59,14 @@ def _kernel(x0_ref, k_ref, valid_ref, buf_ref, x_out_ref, fx_out_ref, strn_out_r
     x0 = x0_ref[:]  # (BLOCK, 1)
     K = k_ref[:]  # (BLOCK, 1) int32  (floor of the starting position)
     valid = valid_ref[:] != 0  # (BLOCK, 1)
-    # buf_ref holds 8 frames' buffers; this cell's frame is one row of it.
-    row = (pl.program_id(0) // blocks_per_frame) % 8
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, CHUNK), 0)
+    # buf_ref holds 8 frames' buffers; each candidate lane carries its own
+    # frame-row index (lanes may come from different frames after the
+    # depth-homogenizing sort).
+    row = row_ref[:]  # (BLOCK, 1) int32
+    # Per-lane row selection as a tiny (BLOCK x 8) selection matmul.
+    sel = (
+        row == jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+    ).astype(buf_ref.dtype)
 
     col_base = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, CHUNK), 1)
 
@@ -96,11 +102,10 @@ def _kernel(x0_ref, k_ref, valid_ref, buf_ref, x_out_ref, fx_out_ref, strn_out_r
             acc_l, acc_r, at_nl, at_nr = acc
             c0 = pl.multiple_of((c_lo + ci) * CHUNK, CHUNK)
             # Dynamic sublane loads are unsupported; load all 8 frame rows
-            # (already VMEM-resident) and mask-reduce to this cell's frame.
+            # (already VMEM-resident) and pick each lane's row via the
+            # selection matmul.
             tile8 = buf_ref[:, pl.ds(c0, CHUNK)]  # (8, CHUNK)
-            tile = jnp.sum(
-                jnp.where(row_ids == row, tile8, 0.0), axis=0, keepdims=True
-            )  # (1, CHUNK)
+            tile = jnp.dot(sel, tile8, preferred_element_type=dt)  # (BLOCK, CHUNK)
             col = c0 + col_base  # (BLOCK, CHUNK)
 
             n_r = col - base_r
@@ -287,17 +292,41 @@ def brent_refine_pallas(
 
     K = jnp.floor(x0).astype(jnp.int32)
 
-    x0_f = x0.reshape(R, 1)
-    k_f = K.reshape(R, 1)
-    valid_f = valid.astype(jnp.int32).reshape(R, 1)
-
+    # Depth homogenization: within each 8-frame group, sort candidate rows by
+    # their lag (the per-candidate tap count is ~2*lag). A frame's candidates
+    # ladder up to ~sr/fmin, so unsorted blocks always pay the max depth;
+    # sorted blocks pay their own. Rows keep a per-lane frame index so the
+    # kernel can still pick the right buffer row.
     blocks_per_frame = Cp // BLOCK
+    G = 8 * Cp  # rows per 8-frame group
+    Bpad8 = _round_up(B, 8)
+    if Bpad8 != B:
+        padr = [(0, Bpad8 - B), (0, 0)]
+        x0 = jnp.pad(x0, padr, constant_values=1.0)
+        valid = jnp.pad(valid, padr, constant_values=False)
+        K = jnp.pad(K, padr, constant_values=1)
+    Rp = Bpad8 * Cp
+    rowidx = jnp.broadcast_to(
+        (jnp.arange(Bpad8) % 8)[:, None].astype(jnp.int32), (Bpad8, Cp)
+    )
+
+    sort_key = jnp.where(valid, K, jnp.int32(2**30)).reshape(-1, G)
+    perm = jnp.argsort(sort_key, axis=-1, stable=True)
+
+    def permute(a, fill=None):
+        return jnp.take_along_axis(a.reshape(-1, G), perm, axis=-1).reshape(Rp)
+
+    x0_f = permute(x0)[:, None]
+    k_f = permute(K)[:, None]
+    valid_f = permute(valid.astype(jnp.int32))[:, None]
+    row_f = permute(rowidx)[:, None]
+    inv_perm = jnp.argsort(perm, axis=-1)
+    R = Rp
     # Mosaic block shapes need multiples of (8, 128): ship 8 frames' buffers
-    # per block and let the cell pick its row (re-fetched only when the block
-    # index changes, i.e. once per 8 frames).
-    Bpad = _round_up(B, 8)
-    if Bpad != B:
-        ybuf = jnp.pad(ybuf, [(0, Bpad - B), (0, 0)])
+    # per block and let the cell pick each lane's row (re-fetched only when
+    # the block index changes, i.e. once per 8 frames).
+    if Bpad8 != B:
+        ybuf = jnp.pad(ybuf, [(0, Bpad8 - B), (0, 0)])
     kernel = functools.partial(
         _kernel, offset=offset, max_depth=max_depth, T=T, P=P, iters=iters, tol=tol,
         blocks_per_frame=blocks_per_frame, strength_depth=strength_depth,
@@ -307,6 +336,7 @@ def brent_refine_pallas(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -327,11 +357,14 @@ def brent_refine_pallas(
             jax.ShapeDtypeStruct((R, 1), dt),
         ],
         interpret=interpret,
-    )(x0_f, k_f, valid_f, ybuf)
+    )(x0_f, k_f, valid_f, row_f, ybuf)
 
-    x_out = x_out.reshape(B, Cp)[:, :C]
-    fx_out = fx_out.reshape(B, Cp)[:, :C]
+    def unsort(a):
+        a = jnp.take_along_axis(a.reshape(-1, G), inv_perm, axis=-1)
+        return a.reshape(Bpad8, Cp)[:B, :C]
+
+    x_out = unsort(x_out[:, 0])
+    fx_out = unsort(fx_out[:, 0])
     if strength_depth is not None:
-        strn_out = strn_out.reshape(B, Cp)[:, :C]
-        return x_out, fx_out, strn_out
+        return x_out, fx_out, unsort(strn_out[:, 0])
     return x_out, fx_out
