@@ -66,3 +66,15 @@ def test_partial_lags():
     # lag = n-1: empty fold -> accumulator seed x[0] survives
     assert abs(out[-1] - (x[0] + 0.0 * 0.0)) < 1e-9 or True
     np.testing.assert_allclose(out, naive_quirk_ac(x, 16), rtol=1e-9, atol=1e-10)
+
+
+def test_power_and_ac_matmul_matches_fft():
+    from voxtpu.autocorr import power_and_autocorrelate
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((4, 128)))
+    p1, a1 = power_and_autocorrelate(x, use_matmul_ifft=False)
+    p2, a2 = power_and_autocorrelate(x, use_matmul_ifft=True)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(autocorrelate(x)), rtol=1e-9, atol=1e-9)

@@ -18,6 +18,8 @@ match the reference bit-for-bit. `quirk=False` gives the textbook result.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -28,8 +30,26 @@ def _next_pow2(n: int) -> int:
     return 1 << (int(n) - 1).bit_length()
 
 
+@functools.lru_cache(maxsize=8)
+def _icos_matrix(nfft: int, n_out: int) -> "np.ndarray":
+    """Inverse-DFT-of-real-even-spectrum as a cosine matrix: the first n_out
+    lags of irfft(power) equal power @ M with
+    M[k, lag] = s_k * cos(2*pi*k*lag/nfft) / nfft, s_k = 1 for k in {0, n/2}
+    else 2. On TPU this (half+1, n_out) matmul runs on the MXU several times
+    faster than the XLA irfft."""
+    import numpy as np
+
+    half = nfft // 2 + 1
+    k = np.arange(half)[:, None]
+    lag = np.arange(n_out)[None, :]
+    m = np.cos(2.0 * np.pi * k * lag / nfft) / nfft
+    m[1 : half - 1] *= 2.0
+    return m  # float64; cast to the working dtype at use
+
+
 def power_and_autocorrelate(
-    x: jax.Array, n_coeffs: int | None = None, quirk: bool = True
+    x: jax.Array, n_coeffs: int | None = None, quirk: bool = True,
+    use_matmul_ifft: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Autocorrelation plus the half power spectrum it was computed from.
 
@@ -45,7 +65,16 @@ def power_and_autocorrelate(
     nfft = _next_pow2(2 * n)
     spec = jnp.fft.rfft(x, n=nfft, axis=-1)
     power = (spec.real**2 + spec.imag**2).astype(x.dtype)
-    ac = jnp.fft.irfft(power, n=nfft, axis=-1)[..., :n_coeffs].astype(x.dtype)
+    if use_matmul_ifft is None:
+        use_matmul_ifft = jax.default_backend() in ("tpu", "axon")
+    if use_matmul_ifft:
+        m = jnp.asarray(_icos_matrix(nfft, n_coeffs), dtype=x.dtype)
+        ac = jax.lax.dot_general(
+            power, m, (((power.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=x.dtype,
+        )
+    else:
+        ac = jnp.fft.irfft(power, n=nfft, axis=-1)[..., :n_coeffs].astype(x.dtype)
     if quirk:
         x0 = x[..., :1]
         ac = ac - x0 * x[..., :n_coeffs] + x0
