@@ -66,7 +66,10 @@ def power_and_autocorrelate(
     spec = jnp.fft.rfft(x, n=nfft, axis=-1)
     power = (spec.real**2 + spec.imag**2).astype(x.dtype)
     if use_matmul_ifft is None:
-        use_matmul_ifft = jax.default_backend() in ("tpu", "axon")
+        # Measured on v5e: the f32 cosine matmul is slower than XLA's irfft at
+        # these shapes (f32 MXU throughput); keep the FFT. The option remains
+        # for bf16-tolerant callers.
+        use_matmul_ifft = False
     if use_matmul_ifft:
         m = jnp.asarray(_icos_matrix(nfft, n_coeffs), dtype=x.dtype)
         ac = jax.lax.dot_general(
