@@ -38,7 +38,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK = 8  # candidates per grid cell (f32 sublane count)
+BLOCK = 8  # candidates per row block (f32 sublane count)
+SUBBLOCKS = 8  # row blocks per grid cell (amortizes ~1us/cell launch cost)
+CELL = BLOCK * SUBBLOCKS  # candidates per grid cell
 CHUNK = 128  # lag columns per tile (lane count)
 
 _GOLDEN = 1.0 - 0.6180339887498948482045868343656381177203091798057628621
@@ -56,19 +58,34 @@ def _kernel(x0_ref, k_ref, valid_ref, row_ref, buf_ref, x_out_ref, fx_out_ref,
     eps = float(jnp.finfo(dt).eps)
     sqrt_eps = math.sqrt(eps)
 
-    x0 = x0_ref[:]  # (BLOCK, 1)
-    K = k_ref[:]  # (BLOCK, 1) int32  (floor of the starting position)
-    valid = valid_ref[:] != 0  # (BLOCK, 1)
+    col_base = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, CHUNK), 1)
+
+    for sb in range(SUBBLOCKS):
+        _refine_subblock(
+            sb, x0_ref, k_ref, valid_ref, row_ref, buf_ref,
+            x_out_ref, fx_out_ref, strn_out_ref, col_base,
+            dt=dt, eps=eps, sqrt_eps=sqrt_eps,
+            offset=offset, max_depth=max_depth, T=T, P=P, iters=iters, tol=tol,
+            strength_depth=strength_depth,
+        )
+
+
+def _refine_subblock(sb, x0_ref, k_ref, valid_ref, row_ref, buf_ref,
+                     x_out_ref, fx_out_ref, strn_out_ref, col_base, *,
+                     dt, eps, sqrt_eps, offset, max_depth, T, P, iters, tol,
+                     strength_depth):
+    r0 = sb * BLOCK
+    x0 = x0_ref[r0 : r0 + BLOCK, :]  # (BLOCK, 1)
+    K = k_ref[r0 : r0 + BLOCK, :]  # (BLOCK, 1) int32
+    valid = valid_ref[r0 : r0 + BLOCK, :] != 0
     # buf_ref holds 8 frames' buffers; each candidate lane carries its own
     # frame-row index (lanes may come from different frames after the
     # depth-homogenizing sort).
-    row = row_ref[:]  # (BLOCK, 1) int32
+    row = row_ref[r0 : r0 + BLOCK, :]  # (BLOCK, 1) int32
     # Per-lane row selection as a tiny (BLOCK x 8) selection matmul.
     sel = (
         row == jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
     ).astype(buf_ref.dtype)
-
-    col_base = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, CHUNK), 1)
 
     def f(x, depth=None):
         """Windowed-sinc eval at x (BLOCK, 1) -> (BLOCK, 1)."""
@@ -147,14 +164,14 @@ def _kernel(x0_ref, k_ref, valid_ref, row_ref, buf_ref, x_out_ref, fx_out_ref,
     if strength_depth is not None:
         # Fused depth-30 strength eval at x0 (periodic.rs:429-435) before the
         # refinement — one kernel pass instead of two launches.
-        strn_out_ref[:] = f(x0, strength_depth)
+        strn_out_ref[r0 : r0 + BLOCK, :] = f(x0, strength_depth)
     else:
-        strn_out_ref[:] = x0
+        strn_out_ref[r0 : r0 + BLOCK, :] = x0
 
     if iters == 0:
         # Evaluation-only mode: interpolation without the Brent loop.
-        x_out_ref[:] = x0
-        fx_out_ref[:] = f(x0)
+        x_out_ref[r0 : r0 + BLOCK, :] = x0
+        fx_out_ref[r0 : r0 + BLOCK, :] = f(x0)
         return
 
     # ---- Brent (periodic.rs:103-188), all-lane vectorized, early exit.
@@ -238,8 +255,8 @@ def _kernel(x0_ref, k_ref, valid_ref, row_ref, buf_ref, x_out_ref, fx_out_ref,
         (~valid).astype(a0.dtype),
     )
     st = jax.lax.while_loop(cond, body, st)
-    x_out_ref[:] = st[3]
-    fx_out_ref[:] = st[6]
+    x_out_ref[r0 : r0 + BLOCK, :] = st[3]
+    fx_out_ref[r0 : r0 + BLOCK, :] = st[6]
 
 
 @functools.partial(
@@ -331,25 +348,25 @@ def brent_refine_pallas(
         _kernel, offset=offset, max_depth=max_depth, T=T, P=P, iters=iters, tol=tol,
         blocks_per_frame=blocks_per_frame, strength_depth=strength_depth,
     )
-    grid = (R // BLOCK,)
+    grid = (R // CELL,)
     x_out, fx_out, strn_out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CELL, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CELL, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CELL, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CELL, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (8, P),
-                lambda i: (i // (blocks_per_frame * 8), 0),
+                lambda i: ((i * CELL) // (blocks_per_frame * BLOCK * 8), 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CELL, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CELL, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CELL, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((R, 1), dt),
