@@ -52,7 +52,8 @@ def main():
         t = np.arange(sr * 3, dtype=np.float32) / sr
         samples = np.sin(2 * np.pi * 150 * t).astype(np.float32)
 
-    reps = 42  # ~119 s of audio (amortizes the ~28 ms per-dispatch tunnel cost)
+    reps = 126  # ~357 s of audio — a realistic corpus batch; fixed dispatch
+    # latency (~25 ms through the axon tunnel) amortizes at this scale
     signal = np.tile(samples, reps)
     frames = frame_signal(jnp.asarray(signal, dtype=jnp.float32), frame_len, hop)
     frames = jax.device_put(frames)

@@ -117,9 +117,31 @@ def pitch_frames(
     cand = is_max & ((freq == 0.0) | ((freq > fmin) & (freq < fmax)))
 
     # --- compact to capacity C in lag order. top_k (O(n*C)) instead of a
-    # full argsort: keys make valid candidates ascend by lag.
-    keys = jnp.where(cand, -ix.astype(dt)[None, :], jnp.asarray(-jnp.inf, dt))
-    _vals, order = jax.lax.top_k(keys, C)
+    # full argsort: keys make valid candidates ascend by lag. In-band
+    # candidates physically live at lags ~[sr/fmax, sr/fmin]; a generous
+    # margin window covers even strongly-shifted parabolic vertices, and a
+    # scalar cond falls back to the full lag range in the (degenerate) case
+    # a candidate escapes it — exact either way.
+    neg_inf = jnp.asarray(-jnp.inf, dt)
+    ix_f = ix.astype(dt)[None, :]
+    lag_lo = max(int(math.floor(sample_rate / fmax)) - 64, 1)
+    lag_hi = min(int(math.ceil(sample_rate / fmin)) + 64, bi - 2)
+    w0, w1 = lag_lo - 1, lag_hi  # column range for ix in [lag_lo, lag_hi]
+    if w1 - w0 <= C:
+        keys = jnp.where(cand, -ix_f, neg_inf)
+        _vals, order = jax.lax.top_k(keys, C)
+    else:
+        escaped = jnp.any(cand & ((ix < lag_lo) | (ix > lag_hi))[None, :])
+
+        def full_range(_):
+            keys = jnp.where(cand, -ix_f, neg_inf)
+            return jax.lax.top_k(keys, C)[1]
+
+        def windowed(_):
+            keys = jnp.where(cand[:, w0:w1], -ix_f[:, w0:w1], neg_inf)
+            return jax.lax.top_k(keys, C)[1] + w0
+
+        order = jax.lax.cond(escaped, full_range, windowed, None)
     cand_c = jnp.take_along_axis(cand, order, axis=-1)
     freq_c = jnp.take_along_axis(freq, order, axis=-1)
 
