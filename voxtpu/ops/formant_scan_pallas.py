@@ -51,11 +51,14 @@ def _kernel(est_f0_ref, est_b0_ref, rf_hbm, rb_hbm, outf_hbm, outb_hbm,
     dt = rf_scr.dtype
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     res_mask = lane < R
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    res_mask8 = lane8 < R
     n_blocks = (F + TBLK - 1) // TBLK
 
     def block_loop(blk, est):
-        est_f, est_b = est  # Python-style tuple of (L,)-scalar tuples? No:
-        # carried as two (1, LANES) rows; scalars extracted below.
+        # est: flat tuple of 2L scalars (estimate freqs then bandwidths) —
+        # scalar-unit carry, no vector extract/rebuild per frame.
 
         # Stream this block of frames in.
         cp = pltpu.make_async_copy(
@@ -70,28 +73,33 @@ def _kernel(est_f0_ref, est_b0_ref, rf_hbm, rb_hbm, outf_hbm, outb_hbm,
         cp2.wait()
 
         def frame_step(t, est):
-            est_f, est_b = est
-            # est scalars
-            ef = [jnp.sum(jnp.where(lane == i, est_f, 0.0)) for i in range(L)]
-            eb = [jnp.sum(jnp.where(lane == i, est_b, 0.0)) for i in range(L)]
+            ef = list(est[:L])
+            eb = list(est[L:])
 
             rfreq = rf_scr[pl.ds(t, 1), :]  # (1, LANES)
             rbw = rb_scr[pl.ds(t, 1), :]
 
-            # --- Step 2: nearest resonance per estimate slot (vector part).
+            # --- Step 2: nearest resonance for all estimate slots at once —
+            # one (8, 128) tile pass instead of per-slot reduces.
+            ecol = jnp.zeros((8, 1), dtype=dt)
+            for i in range(min(L, NSLOTS)):
+                ecol = jnp.where(row8 == i, ef[i], ecol)
+            dist = jnp.where(res_mask8, jnp.abs(rfreq - ecol), BIG)  # (8,128)
+            dmin = jnp.min(dist, axis=1, keepdims=True)
+            first = jnp.min(
+                jnp.where(dist == dmin, lane8, LANES), axis=1, keepdims=True
+            )  # (8, 1) first-win argmin
+            sel = lane8 == first
+            sfcol = jnp.sum(jnp.where(sel, rfreq, 0.0), axis=1, keepdims=True)
+            sbcol = jnp.sum(jnp.where(sel, rbw, 0.0), axis=1, keepdims=True)
+
             sf = [jnp.asarray(0.0, dt)] * NSLOTS
             sb = [jnp.asarray(0.0, dt)] * NSLOTS
-            sv = [False] * NSLOTS  # python bools -> traced after assignment
+            sv = [jnp.asarray(False)] * NSLOTS
             for s in range(min(L, NSLOTS)):
-                dist = jnp.where(res_mask, jnp.abs(rfreq - ef[s]), BIG)
-                dmin = jnp.min(dist)
-                first = jnp.min(jnp.where(dist == dmin, lane, LANES))
-                sf[s] = jnp.sum(jnp.where(lane == first, rfreq, 0.0))
-                sb[s] = jnp.sum(jnp.where(lane == first, rbw, 0.0))
+                sf[s] = jnp.sum(jnp.where(row8 == s, sfcol, 0.0))
+                sb[s] = jnp.sum(jnp.where(row8 == s, sbcol, 0.0))
                 sv[s] = jnp.asarray(True)
-
-            for s in range(min(L, NSLOTS), NSLOTS):
-                sv[s] = jnp.asarray(False)
 
             # --- Step 3: dedup with moving pointer w (scalar).
             w = jnp.int32(0)
@@ -171,15 +179,15 @@ def _kernel(est_f0_ref, est_b0_ref, rf_hbm, rb_hbm, outf_hbm, outb_hbm,
                     eb[i] = jnp.where(upd, sb[p], eb[i])
                 count = count + is_w.astype(jnp.int32)
 
-            # Rebuild the (1, LANES) carry rows and store into the out block.
-            est_f = jnp.zeros((1, LANES), dtype=dt)
-            est_b = jnp.zeros((1, LANES), dtype=dt)
+            # Store the output row; the carry stays scalar.
+            out_f = jnp.zeros((1, LANES), dtype=dt)
+            out_b = jnp.zeros((1, LANES), dtype=dt)
             for i in range(L):
-                est_f = jnp.where(lane == i, ef[i], est_f)
-                est_b = jnp.where(lane == i, eb[i], est_b)
-            of_scr[pl.ds(t, 1), :] = est_f
-            ob_scr[pl.ds(t, 1), :] = est_b
-            return est_f, est_b
+                out_f = jnp.where(lane == i, ef[i], out_f)
+                out_b = jnp.where(lane == i, eb[i], out_b)
+            of_scr[pl.ds(t, 1), :] = out_f
+            ob_scr[pl.ds(t, 1), :] = out_b
+            return tuple(ef) + tuple(eb)
 
         # Frames beyond F (tail of the last block) still run — their garbage
         # rows are never copied out thanks to the clamped out-DMA below; but
@@ -187,14 +195,11 @@ def _kernel(est_f0_ref, est_b0_ref, rf_hbm, rb_hbm, outf_hbm, outb_hbm,
         valid_in_block = jnp.minimum(F - blk * TBLK, TBLK)
 
         def guarded(t, est):
-            new_f, new_b = frame_step(t, est)
+            new = frame_step(t, est)
             keep = t < valid_in_block
-            return (
-                jnp.where(keep, new_f, est[0]),
-                jnp.where(keep, new_b, est[1]),
-            )
+            return tuple(jnp.where(keep, n, o) for n, o in zip(new, est))
 
-        est_f, est_b = jax.lax.fori_loop(0, TBLK, guarded, (est_f, est_b))
+        est = jax.lax.fori_loop(0, TBLK, guarded, est)
 
         cp3 = pltpu.make_async_copy(
             of_scr, outf_hbm.at[pl.ds(blk * TBLK, TBLK), :], sems.at[2]
@@ -206,9 +211,13 @@ def _kernel(est_f0_ref, est_b0_ref, rf_hbm, rb_hbm, outf_hbm, outb_hbm,
         cp4.start()
         cp3.wait()
         cp4.wait()
-        return est_f, est_b
+        return est
 
-    est0 = (est_f0_ref[:], est_b0_ref[:])
+    ef_row = est_f0_ref[:]
+    eb_row = est_b0_ref[:]
+    est0 = tuple(
+        jnp.sum(jnp.where(lane == i, ef_row, 0.0)) for i in range(L)
+    ) + tuple(jnp.sum(jnp.where(lane == i, eb_row, 0.0)) for i in range(L))
     jax.lax.fori_loop(0, n_blocks, block_loop, est0)
 
 
