@@ -18,8 +18,19 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp  # noqa: F401
+
+    # Persistent compilation cache: the full-pipeline compile takes minutes
+    # through the remote AOT tunnel; cache it across runs.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from voxtpu.io_wav import read_wav
     from voxtpu.frame import frame_signal
