@@ -1,0 +1,56 @@
+"""Tests for the reference-shaped compatibility surface."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from voxtpu import compat
+from voxtpu.windows import hann
+
+from util import sine_hz
+
+
+def test_work_size_helpers():
+    # lib.rs:30-36 formulas
+    assert compat.find_formants_real_work_size(1024, 13) == 1024 * 2 + 13 * 23 + 2
+    assert compat.find_formants_complex_work_size(13) == 13 * 7 + 4
+
+
+def test_formant_extractor_iterator_golden():
+    # spectrum.rs:528-567 via the compat iterator
+    res = [
+        [compat.Resonance(f, 1.0) for f in fr]
+        for fr in (
+            [100.0, 150.0, 200.0, 240.0, 300.0],
+            [110.0, 180.0, 210.0, 230.0, 310.0],
+            [230.0, 270.0, 290.0, 350.0, 360.0],
+        )
+    ]
+    est = [compat.Resonance(f, 1.0) for f in (140.0, 230.0, 320.0)]
+    it = compat.FormantExtractor(3, res, est)
+    got = [[r.frequency for r in frame] for frame in it]
+    assert got[0] == [150.0, 240.0, 300.0]
+    assert got[1] == [180.0, 230.0, 310.0]
+    assert got[2] == [230.0, 270.0, 290.0]
+
+
+def test_pitch_extractor_stub_mode():
+    cands = [
+        [compat.Pitch(200.0, 0.9), compat.Pitch(100.0, 0.5)],
+        [compat.Pitch(201.0, 0.8)],
+    ]
+    got = list(compat.PitchExtractor(cands))
+    assert [p.frequency for p in got] == [200.0, 201.0]
+
+
+def test_pitch_six_arg():
+    x = sine_hz(150.0, 44100.0, 2048) * np.asarray(hann(2048))
+    out = compat.pitch(x, 44100.0, 0.2, 1.0, 1.0, 100.0, 500.0)
+    assert abs(out[0].frequency - 150.0) < 1e-2
+
+
+def test_pitch_praat_eight_arg():
+    sr, n, hop, F = 11025.0, 512, 256, 6
+    x = sine_hz(220.0, sr, (F - 1) * hop + n)
+    frames = np.stack([x[i * hop : i * hop + n] for i in range(F)]) * np.asarray(hann(n))
+    f0, s0 = compat.pitch_praat(frames, sr, fmin=100.0, fmax=500.0)
+    np.testing.assert_allclose(f0, 220.0, rtol=5e-3)
