@@ -57,7 +57,12 @@ def main():
 
     # Real speech: tile the bundled two-vowels recording (44.1 kHz).
     try:
-        wav = read_wav("tests/fixtures/sample-two_vowels.wav")
+        wav = read_wav(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tests", "fixtures", "sample-two_vowels.wav",
+            )
+        )
         samples = np.asarray(wav.samples, dtype=np.float32)
     except Exception:
         t = np.arange(sr * 3, dtype=np.float32) / sr

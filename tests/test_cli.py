@@ -40,3 +40,17 @@ def test_corpus_resume(tmp_path, capsys):
     rc = main(["corpus", WAV, "-o", str(outdir), "--f64"])
     assert rc == 0
     assert "resume skip" in capsys.readouterr().err
+
+
+def test_corpus_sharded(tmp_path):
+    outdir = tmp_path / "sharded"
+    rc = main(["corpus", WAV, "-o", str(outdir), "--f64", "--sharded", "--no-resume"])
+    assert rc == 0
+    z = np.load(outdir / "short_sample.npz")
+    assert np.all(np.isfinite(z["mfcc"]))
+
+    # matches the unsharded run (after the halo warmup; whole track here)
+    outdir2 = tmp_path / "plain"
+    rc = main(["corpus", WAV, "-o", str(outdir2), "--f64", "--no-resume"])
+    z2 = np.load(outdir2 / "short_sample.npz")
+    np.testing.assert_allclose(z["f0"], z2["f0"], rtol=1e-6)

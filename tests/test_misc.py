@@ -1,0 +1,123 @@
+"""Coverage for IO edge cases, status flags, profiling, and aux helpers."""
+
+import io
+import os
+import struct
+import wave
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from voxtpu import errors
+from voxtpu.io_wav import read_wav
+
+
+def synth_wav(path, data_int, sampwidth, framerate=8000):
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(framerate)
+        if sampwidth == 1:
+            raw = bytes((d + 128) & 0xFF for d in data_int)
+        elif sampwidth == 2:
+            raw = b"".join(struct.pack("<h", d) for d in data_int)
+        elif sampwidth == 3:
+            raw = b"".join(struct.pack("<i", d << 8)[1:4] for d in data_int)
+        else:
+            raw = b"".join(struct.pack("<i", d) for d in data_int)
+        w.writeframes(raw)
+
+
+def test_wav_16bit_scaling(tmp_path):
+    # tests/lib.rs:17-19: s / (i32::MAX >> (32-16)) = s / 32767
+    p = tmp_path / "a.wav"
+    synth_wav(p, [32767, -32767, 16384, 0], 2)
+    wav = read_wav(p)
+    np.testing.assert_allclose(wav.samples, [1.0, -1.0, 16384 / 32767, 0.0])
+    assert wav.bits_per_sample == 16
+
+
+def test_wav_8bit_scaling(tmp_path):
+    p = tmp_path / "b.wav"
+    synth_wav(p, [127, -127, 0], 1)
+    wav = read_wav(p)
+    scale = (2**31 - 1) >> 24  # 127
+    np.testing.assert_allclose(wav.samples, [1.0, -1.0, 0.0])
+
+
+def test_wav_24bit_scaling(tmp_path):
+    p = tmp_path / "c.wav"
+    vals = [2**23 - 1, -(2**23 - 1), 12345]
+    synth_wav(p, vals, 3)
+    wav = read_wav(p)
+    scale = (2**31 - 1) >> 8
+    np.testing.assert_allclose(wav.samples, np.asarray(vals) / scale)
+
+
+def test_status_describe():
+    assert errors.describe(0) == "ok"
+    s = errors.LPC_DENUM_NONPOS | errors.NONFINITE_INPUT
+    d = errors.describe(s)
+    assert "lpc-denum-nonpositive" in d and "nonfinite-input" in d
+
+
+def test_nonfinite_input_flagged():
+    from voxtpu.pipeline import AnalysisConfig, PitchConfig, FormantConfig, MfccConfig, analyze_frames
+
+    cfg = AnalysisConfig(11025.0, 256, 128,
+                         PitchConfig(enabled=False),
+                         FormantConfig(n_coeffs=8),
+                         MfccConfig(enabled=False))
+    rng = np.random.default_rng(0)
+    frames = rng.standard_normal((3, 256))
+    frames[1, 7] = np.nan
+    out = analyze_frames(jnp.asarray(frames), cfg)
+    st = np.asarray(out["status"])
+    assert st[0] & errors.NONFINITE_INPUT == 0
+    assert st[1] & errors.NONFINITE_INPUT
+    assert st[2] & errors.NONFINITE_INPUT == 0
+
+
+def test_profiling_timed_and_stage_report():
+    import jax
+    from voxtpu.profiling import timed, stage_report
+    from voxtpu.pipeline import AnalysisConfig, PitchConfig, FormantConfig, MfccConfig
+
+    fn = jax.jit(lambda x: x * 2.0)
+    t = timed(fn, jnp.ones(16), iters=1, warmup=1)
+    assert t > 0
+
+    cfg = AnalysisConfig(8000.0, 128, 64,
+                         PitchConfig(fmin=150.0, fmax=400.0, max_candidates=8),
+                         FormantConfig(n_coeffs=8),
+                         MfccConfig(num_coeffs=8, freq_hi=3500.0))
+    rng = np.random.default_rng(1)
+    frames = jnp.asarray(rng.standard_normal((4, 128)))
+    rep = stage_report(frames, cfg, iters=1)
+    assert set(rep) == {"rms", "mfcc", "formants", "pitch", "full"}
+    assert all(v > 0 for v in rep.values())
+
+
+def test_compat_empty_inputs():
+    from voxtpu import compat
+
+    assert list(compat.FormantExtractor(3, [], [])) == []
+    assert list(compat.PitchExtractor([])) == []
+
+
+def test_viterbi_local_intensity():
+    from voxtpu.viterbi import PathConfig, pitch_path
+
+    # Quiet frames (low intensity) get a strong unvoiced bonus.
+    freq = jnp.asarray([[0.0, 150.0]] * 3)
+    strength = jnp.asarray([[0.1, 0.4]] * 3)
+    valid = jnp.ones((3, 2), dtype=bool)
+    li = jnp.asarray([0.001, 0.001, 0.001])  # near silence
+    f0, _ = pitch_path(freq, strength, valid, PathConfig(), local_intensity=li)
+    np.testing.assert_allclose(np.asarray(f0), 0.0)
+
+    loud = jnp.asarray([1.0, 1.0, 1.0])
+    f0, _ = pitch_path(freq, strength, valid, PathConfig(voicing_threshold=0.3),
+                       local_intensity=loud)
+    np.testing.assert_allclose(np.asarray(f0), 150.0)

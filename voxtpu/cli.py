@@ -138,6 +138,12 @@ def cmd_corpus(args) -> int:
     os.makedirs(args.output_dir, exist_ok=True)
 
     dtype = np.float64 if args.f64 else np.float32
+    mesh = None
+    if args.sharded and jax.device_count() > 1:
+        from voxtpu.dist import make_mesh
+
+        mesh = make_mesh(1, jax.device_count())
+        print(f"sharding frames over {jax.device_count()} devices", file=sys.stderr)
 
     # Resume support (SURVEY §5 checkpoint/resume: "corpus-runner progress
     # manifest"): files already present in the manifest with an unchanged
@@ -163,8 +169,14 @@ def cmd_corpus(args) -> int:
         samples, sr = _read(path, dtype)
         config, _ = _build_config(args, sr)
         frames = frame_signal(jnp.asarray(samples), config.frame_len, config.hop)
-        out = analyze_frames(frames, config)
-        out = {k: np.asarray(v) for k, v in out.items()}
+        if mesh is not None:
+            from voxtpu.dist import sharded_analyze
+
+            out = sharded_analyze(frames[None], config, mesh)
+            out = {k: np.asarray(v)[0] for k, v in out.items()}
+        else:
+            out = analyze_frames(frames, config)
+            out = {k: np.asarray(v) for k, v in out.items()}
         name = os.path.splitext(os.path.basename(path))[0] + ".npz"
         np.savez(os.path.join(args.output_dir, name), **out)
         manifest[path] = {
@@ -219,6 +231,8 @@ def main(argv=None) -> int:
     sc.add_argument("files", nargs="+", help="paths or globs")
     sc.add_argument("--output-dir", "-o", default="voxtpu_features")
     sc.add_argument("--no-resume", action="store_true", help="reprocess everything")
+    sc.add_argument("--sharded", action="store_true",
+                    help="shard each file's frames over all devices")
     common(sc)
     sc.set_defaults(fn=cmd_corpus)
 

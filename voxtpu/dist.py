@@ -81,8 +81,15 @@ def sharded_analyze(
         frames = frames[None]
     files, F, n = frames.shape
     nshards = mesh.shape["frames"]
+    F_orig = F
     if F % nshards:
-        raise ValueError(f"frame count {F} not divisible by frames-axis size {nshards}")
+        # Pad with zero frames (an exact no-op for the formant tracker) and
+        # trim the outputs back.
+        pad = nshards - F % nshards
+        frames = jnp.pad(frames, [(0, 0), (0, pad), (0, 0)])
+        F = F + pad
+    # The halo cannot exceed a shard's own frame count.
+    overlap = min(overlap, F // nshards)
 
     @partial(
         jax.shard_map,
@@ -108,7 +115,12 @@ def sharded_analyze(
             out = {k: v[:, overlap:] for k, v in out.items()}
         return out
 
-    return run(frames)
+    # jit handles input resharding onto the mesh (eager shard_map requires
+    # pre-sharded operands).
+    out = jax.jit(run)(frames)
+    if F_orig != F:
+        out = {k: v[:, :F_orig] for k, v in out.items()}
+    return out
 
 
 def dryrun_multichip(n_devices: int) -> None:

@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from voxtpu import waves
+from voxtpu import errors, waves
 from voxtpu.frame import frame_signal, num_frames
 from voxtpu.formants import find_formants, MALE_FORMANT_ESTIMATES
 from voxtpu.mfcc import mfcc
@@ -88,6 +88,11 @@ def analyze_frames(frames: jax.Array, config: AnalysisConfig) -> dict:
     windowed = frames * window
 
     out["rms"] = waves.rms(frames)
+    # Failure detection (SURVEY §5): flag frames with non-finite samples; a
+    # bad frame must not abort the batch (reference callers just .unwrap()).
+    input_status = jnp.where(
+        jnp.all(jnp.isfinite(frames), axis=-1), 0, errors.NONFINITE_INPUT
+    ).astype(jnp.int32)
 
     # When pitch and MFCC both run on the same Hann-windowed frame (no
     # preemphasis) and the frame is a power of two, one batched FFT serves
@@ -127,7 +132,9 @@ def analyze_frames(frames: jax.Array, config: AnalysisConfig) -> dict:
         )
         out["formant_freqs"] = freqs
         out["formant_bws"] = bws
-        out["status"] = status
+        out["status"] = status | input_status
+    else:
+        out["status"] = input_status
 
     if config.mfcc.enabled:
         m = config.mfcc
