@@ -36,6 +36,9 @@ class PitchConfig:
     fmin: float = 60.0
     fmax: float = 600.0
     max_candidates: int = 32
+    #: run the Viterbi path search (voxtpu.viterbi) and report its track as
+    #: f0 instead of the strongest candidate (the reference stub's behavior)
+    viterbi: bool = False
 
 
 @dataclass(frozen=True)
@@ -121,8 +124,14 @@ def analyze_frames(frames: jax.Array, config: AnalysisConfig) -> dict:
         out["pitch_candidates_freq"] = freq
         out["pitch_candidates_strength"] = strength
         out["pitch_candidates_valid"] = valid
-        out["f0"] = freq[..., 0]
-        out["f0_strength"] = strength[..., 0]
+        if p.viterbi:
+            from voxtpu.viterbi import PathConfig, pitch_path
+
+            f0, s0 = pitch_path(freq, strength, valid, PathConfig(ceiling=p.fmax))
+            out["f0"], out["f0_strength"] = f0, s0
+        else:
+            out["f0"] = freq[..., 0]
+            out["f0_strength"] = strength[..., 0]
 
     if config.formant.enabled:
         f = config.formant
