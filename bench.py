@@ -11,7 +11,7 @@ audio-seconds processed per wall-second per chip.
 """
 
 import json
-import sys
+
 import time
 
 import numpy as np

@@ -3,7 +3,7 @@
 import numpy as np
 import jax.numpy as jnp
 
-from voxtpu import waves
+
 from voxtpu.windows import hann
 from voxtpu.mfcc import hz_to_mel, mel_to_hz, dct, mfcc
 

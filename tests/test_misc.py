@@ -7,7 +7,6 @@ import wave
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from voxtpu import errors
 from voxtpu.io_wav import read_wav

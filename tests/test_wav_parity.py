@@ -15,7 +15,6 @@ import os
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 import reference_impl as ref
 from voxtpu.io_wav import read_wav

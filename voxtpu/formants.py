@@ -20,7 +20,6 @@ import math
 import jax
 import jax.numpy as jnp
 
-from voxtpu import errors
 from voxtpu.cplx import C
 from voxtpu.lpc import burg
 from voxtpu.resonance import resonances_from_roots, sort_and_pack_resonances
