@@ -120,3 +120,39 @@ def test_viterbi_local_intensity():
     f0, _ = pitch_path(freq, strength, valid, PathConfig(voicing_threshold=0.3),
                        local_intensity=loud)
     np.testing.assert_allclose(np.asarray(f0), 150.0)
+
+
+def test_preemphasis_blowup_parity():
+    """spectrum.rs:583 preemphasizes with factor 0.1*22050 — the recurrence
+    coefficient is 2*pi*2205 and the filter explodes. The reference's test is
+    println-only; pin that both implementations blow up the same way."""
+    import reference_impl as ref
+    from voxtpu.waves import preemphasis
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1.0, 1.0, 64)
+    exp = ref.preemphasis(x.copy(), 0.1 * 22050.0)
+    got = np.asarray(preemphasis(jnp.asarray(x), 0.1 * 22050.0))
+    # Identical where finite; non-finite in the same places.
+    finite = np.isfinite(exp)
+    assert np.array_equal(finite, np.isfinite(got))
+    np.testing.assert_allclose(got[finite], exp[finite], rtol=1e-6)
+
+
+def test_pitch_odd_and_nonpow2_frames():
+    from voxtpu.pitch import pitch_frames
+    from voxtpu.windows import hann
+    from util import sine_hz
+
+    for n in (400, 401):
+        x = sine_hz(220.0, 11025.0, n) * np.asarray(hann(n))
+        freq, strength, valid = pitch_frames(
+            jnp.asarray(x)[None], 11025.0, fmin=100.0, fmax=500.0, max_candidates=8
+        )
+        assert abs(float(freq[0, 0]) - 220.0) < 2.0, (n, np.asarray(freq[0]))
+
+
+def test_dryrun_multichip_4():
+    from voxtpu.dist import dryrun_multichip
+
+    dryrun_multichip(4)
