@@ -114,6 +114,8 @@ def _refine_subblock(sb, x0_ref, k_ref, valid_ref, row_ref, buf_ref,
 
         sin_l = jnp.sin(jnp.pi * phil)  # (BLOCK, 1)
         sin_r = jnp.sin(jnp.pi * phir)
+        taper_rcp_l = 1.0 / (phil + mdf)  # hoisted out of the tile loop
+        taper_rcp_r = 1.0 / (phir + mdf)
 
         def chunk_body(ci, acc):
             acc_l, acc_r, at_nl, at_nr = acc
@@ -125,12 +127,15 @@ def _refine_subblock(sb, x0_ref, k_ref, valid_ref, row_ref, buf_ref,
             tile = jnp.dot(sel, tile8, preferred_element_type=dt)  # (BLOCK, CHUNK)
             col = c0 + col_base  # (BLOCK, CHUNK)
 
+            # (Measured: predicating each side on jnp.any(active) with
+            # lax.cond is a net loss in Mosaic — branch overhead exceeds the
+            # saved transcendentals. Both sides run unconditionally.)
             n_r = col - base_r
             act_r = (n_r >= 0) & (n_r <= md)
             tap_r = n_r.astype(dt)
             sign_r = 1.0 - 2.0 * (n_r % 2).astype(dt)
             a_r = jnp.pi * (phir + tap_r)
-            coef_r = (sin_r * sign_r / a_r) * (0.5 + 0.5 * jnp.cos(a_r / (phir + mdf)))
+            coef_r = (sin_r * sign_r / a_r) * (0.5 + 0.5 * jnp.cos(a_r * taper_rcp_r))
             acc_r = acc_r + jnp.sum(
                 tile * jnp.where(act_r, coef_r, 0.0), axis=1, keepdims=True
             )
@@ -140,7 +145,7 @@ def _refine_subblock(sb, x0_ref, k_ref, valid_ref, row_ref, buf_ref,
             tap_l = n_l.astype(dt)
             sign_l = 1.0 - 2.0 * (n_l % 2).astype(dt)
             a_l = jnp.pi * (phil + tap_l)
-            coef_l = (sin_l * sign_l / a_l) * (0.5 + 0.5 * jnp.cos(a_l / (phil + mdf)))
+            coef_l = (sin_l * sign_l / a_l) * (0.5 + 0.5 * jnp.cos(a_l * taper_rcp_l))
             acc_l = acc_l + jnp.sum(
                 tile * jnp.where(act_l, coef_l, 0.0), axis=1, keepdims=True
             )
