@@ -97,3 +97,23 @@ def test_graft_entry():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out["f0"])))
+
+
+def test_analyze_long_matches_one_shot():
+    from voxtpu.pipeline import analyze_long
+
+    rng = np.random.default_rng(5)
+    sr = 11025.0
+    cfg = small_config(sr)
+    t = np.arange(40 * 256 + 512) / sr
+    x = np.sin(2 * np.pi * 180 * t) * (1 + 0.3 * np.sin(2 * np.pi * 2 * t))
+    x = x + 0.05 * rng.standard_normal(t.shape)
+
+    one = analyze(x, cfg)
+    chunked = analyze_long(x, cfg, chunk_frames=7)  # odd size, forces padding
+
+    for k in ("f0", "formant_freqs", "formant_bws", "mfcc", "rms", "status"):
+        np.testing.assert_allclose(
+            np.asarray(chunked[k]), np.asarray(one[k]), rtol=1e-9, atol=1e-9,
+            err_msg=k,
+        )

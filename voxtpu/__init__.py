@@ -38,6 +38,7 @@ from voxtpu.pipeline import (
     MfccConfig,
     analyze,
     analyze_frames,
+    analyze_long,
 )
 
 __version__ = "0.1.0"
@@ -99,4 +100,5 @@ __all__ = [
     "MfccConfig",
     "analyze",
     "analyze_frames",
+    "analyze_long",
 ]

@@ -252,6 +252,7 @@ def find_formants(
     resample_ratio: float = 1.0,
     estimates=MALE_FORMANT_ESTIMATES,
     estimate_bandwidth: float = 1.0,
+    estimate_bws=None,
     max_resonances: int = MAX_RESONANCES,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Full formant pipeline over the frames of one recording.
@@ -308,6 +309,9 @@ def find_formants(
     rfreq, rbw = sort_and_pack_resonances(rfreq, rbw, valid, max_resonances)
 
     est_f = jnp.asarray(estimates, dtype=dt)
-    est_b = jnp.full_like(est_f, estimate_bandwidth)
+    if estimate_bws is not None:
+        est_b = jnp.asarray(estimate_bws, dtype=dt)
+    else:
+        est_b = jnp.full_like(est_f, estimate_bandwidth)
     freqs, bws = formant_tracker(rfreq, rbw, est_f, est_b)
     return freqs, bws, status

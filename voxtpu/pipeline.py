@@ -26,7 +26,7 @@ from voxtpu.mfcc import mfcc
 from voxtpu.pitch import pitch_frames
 from voxtpu.windows import hann
 
-__all__ = ["PitchConfig", "FormantConfig", "MfccConfig", "AnalysisConfig", "analyze_frames", "analyze"]
+__all__ = ["PitchConfig", "FormantConfig", "MfccConfig", "AnalysisConfig", "analyze_frames", "analyze", "analyze_long"]
 
 
 @dataclass(frozen=True)
@@ -74,12 +74,20 @@ class AnalysisConfig:
 
 
 @partial(jax.jit, static_argnames=("config",))
-def analyze_frames(frames: jax.Array, config: AnalysisConfig) -> dict:
+def analyze_frames(
+    frames: jax.Array,
+    config: AnalysisConfig,
+    formant_estimates: tuple[jax.Array, jax.Array] | None = None,
+) -> dict:
     """Analyze rectangular frames (F, n): returns the full feature dict.
 
     Windowing follows the reference drivers: pitch and MFCC see
     Hann-windowed frames; `find_formants` windows internally (lib.rs:66-70);
     RMS is computed on the raw frame (tests/lib.rs:80).
+
+    formant_estimates: optional traced (freqs, bws) arrays overriding the
+    config's starting estimates — the carry hand-off for chunked/streaming
+    analysis (see `analyze_long`).
     """
     frames = jnp.asarray(frames)
     sr = config.sample_rate
@@ -135,9 +143,14 @@ def analyze_frames(frames: jax.Array, config: AnalysisConfig) -> dict:
 
     if config.formant.enabled:
         f = config.formant
+        if formant_estimates is not None:
+            est_f, est_b = formant_estimates
+        else:
+            est_f, est_b = f.estimates, None
         freqs, bws, status = find_formants(
             frames, sr, f.n_coeffs, resample_ratio=f.resample_ratio,
-            estimates=f.estimates, estimate_bandwidth=f.estimate_bandwidth,
+            estimates=est_f, estimate_bandwidth=f.estimate_bandwidth,
+            estimate_bws=est_b,
         )
         out["formant_freqs"] = freqs
         out["formant_bws"] = bws
@@ -163,3 +176,38 @@ def analyze(samples, config: AnalysisConfig) -> dict:
     """Frame a 1-D signal and analyze (host-side convenience wrapper)."""
     frames = frame_signal(jnp.asarray(samples), config.frame_len, config.hop)
     return analyze_frames(frames, config)
+
+
+def analyze_long(samples, config: AnalysisConfig, chunk_frames: int = 4096) -> dict:
+    """Chunked analysis for arbitrarily long recordings, bit-identical to a
+    one-shot `analyze`.
+
+    Frames are processed `chunk_frames` at a time (one compiled executable,
+    reused across chunks); the only cross-chunk state — the McCandless
+    formant-estimate carry — is handed from each chunk's last frame into the
+    next chunk's starting estimates, so the tracked trajectory is exactly the
+    serial one. Memory stays bounded at O(chunk_frames * frame_len).
+    """
+    samples = jnp.asarray(samples)
+    F = num_frames(samples.shape[-1], config.frame_len, config.hop)
+    if F <= chunk_frames:
+        return analyze(samples, config)
+
+    hop, n = config.hop, config.frame_len
+    est = None
+    chunks = []
+    for i0 in range(0, F, chunk_frames):
+        i1 = min(i0 + chunk_frames, F)
+        seg = samples[i0 * hop : (i1 - 1) * hop + n]
+        frames = frame_signal(seg, n, hop)
+        nf = frames.shape[0]
+        if nf < chunk_frames:
+            # pad to the compiled shape; padded outputs are trimmed below and
+            # zero frames are a formant-tracker no-op, so the carry is exact.
+            frames = jnp.pad(frames, [(0, chunk_frames - nf), (0, 0)])
+        out = analyze_frames(frames, config, formant_estimates=est)
+        if config.formant.enabled:
+            est = (out["formant_freqs"][nf - 1], out["formant_bws"][nf - 1])
+        chunks.append({k: v[:nf] for k, v in out.items()})
+
+    return {k: jnp.concatenate([c[k] for c in chunks]) for k in chunks[0]}
