@@ -156,3 +156,20 @@ def test_dryrun_multichip_4():
     from voxtpu.dist import dryrun_multichip
 
     dryrun_multichip(4)
+
+
+def test_stereo_wav(tmp_path):
+    import wave as wave_mod
+    p = tmp_path / "st.wav"
+    with wave_mod.open(str(p), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        frames = b"".join(
+            struct.pack("<hh", i * 100, -i * 100) for i in range(10)
+        )
+        w.writeframes(frames)
+    wav = read_wav(p)
+    assert wav.samples.shape == (10, 2)
+    np.testing.assert_allclose(wav.samples[:, 0], np.arange(10) * 100 / 32767)
+    np.testing.assert_allclose(wav.samples[:, 1], -np.arange(10) * 100 / 32767)
