@@ -117,3 +117,12 @@ def test_analyze_long_matches_one_shot():
             np.asarray(chunked[k]), np.asarray(one[k]), rtol=1e-9, atol=1e-9,
             err_msg=k,
         )
+
+
+def test_hnr_output():
+    x = sine_hz(220.0, 11025.0, 4096)
+    cfg = small_config()
+    out = analyze(x, cfg)
+    hnr = np.asarray(out["hnr_db"])
+    # Pure sine: very high HNR on every voiced frame.
+    assert np.all(hnr > 20.0), hnr

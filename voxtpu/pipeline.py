@@ -140,6 +140,12 @@ def analyze_frames(
         else:
             out["f0"] = freq[..., 0]
             out["f0_strength"] = strength[..., 0]
+        # Harmonics-to-noise ratio: the candidate strength IS the normalized
+        # autocorrelation at the pitch lag (periodic.rs:387-392 calls it the
+        # HNR rating); in dB: 10*log10(r / (1-r)), Boersma 1993 eq. 4.
+        s_best = jnp.clip(out["f0_strength"], 1e-6, 1.0 - 1e-6)
+        hnr = 10.0 * jnp.log10(s_best / (1.0 - s_best))
+        out["hnr_db"] = jnp.where(out["f0"] > 0, hnr, -jnp.inf * jnp.ones_like(hnr))
 
     if config.formant.enabled:
         f = config.formant
