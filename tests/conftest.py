@@ -18,3 +18,12 @@ import jax  # noqa: E402
 # that float64/complex128 parity paths are available.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# The suite is XLA-compile dominated (~40 jitted pipeline variants); cache
+# compilations across runs.
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
