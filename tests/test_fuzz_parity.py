@@ -1,0 +1,152 @@
+"""Randomized parity fuzzing of the branchy transcriptions vs the oracle.
+
+The McCandless step and the root finder have the most intricate control flow;
+these tests hammer them with adversarial random inputs (duplicates, zero
+tails, near-ties) and require agreement with the scalar oracle.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+import reference_impl as ref
+from voxtpu.cplx import C
+from voxtpu.formants import estimate_formants_step
+from voxtpu.roots import find_roots
+from voxtpu.lpc import burg
+
+
+def test_fuzz_estimate_formants_step():
+    rng = np.random.default_rng(42)
+    n_cases = 300
+    for case in range(n_cases):
+        L = int(rng.integers(1, 7))
+        R = int(rng.integers(1, 33))
+        # Adversarial resonances: duplicates, zeros, clustered values.
+        vals = rng.choice([0.0, 100.0, 250.0, 251.0, 1000.0, 2500.0], size=R)
+        jitter = rng.choice([0.0, 0.5], size=R) * rng.standard_normal(R)
+        rf = np.abs(vals + jitter)
+        rb = rng.choice([0.0, 1.0, 50.0], size=R)
+        # Duplicate whole entries sometimes (step-3/4 dedup paths).
+        if R > 2 and rng.random() < 0.5:
+            rf[1] = rf[0]
+            rb[1] = rb[0]
+        est = np.sort(rng.uniform(80.0, 3500.0, L))
+        estb = np.ones(L)
+
+        # Oracle (mutates in place).
+        exp = [(float(f), float(b)) for f, b in zip(est, estb)]
+        ref.estimate_formants(exp, [(float(f), float(b)) for f, b in zip(rf, rb)])
+
+        got_f, got_b = estimate_formants_step(
+            jnp.asarray(est), jnp.asarray(estb), jnp.asarray(rf), jnp.asarray(rb)
+        )
+        got = list(zip(np.asarray(got_f), np.asarray(got_b)))
+        for k, ((gf, gb), (ef, eb)) in enumerate(zip(got, exp)):
+            assert gf == ef and gb == eb, (
+                f"case {case}: slot {k}: got {(gf, gb)} exp {(ef, eb)}\n"
+                f"res={list(zip(rf, rb))}\nest={est}"
+            )
+
+
+def test_fuzz_find_roots():
+    rng = np.random.default_rng(7)
+    for case in range(60):
+        deg = int(rng.integers(1, 14))
+        coeffs = rng.standard_normal(deg + 1) * rng.choice([0.1, 1.0, 10.0])
+        coeffs[-1] = rng.choice([1.0, -1.0, 2.5])
+        # occasional zero low coefficients
+        if deg > 2 and rng.random() < 0.3:
+            coeffs[0] = 0.0
+
+        exp = ref.find_roots(np.asarray(coeffs, dtype=np.complex128))
+        r, count, status = find_roots(C(jnp.asarray(coeffs), jnp.zeros(deg + 1)))
+        assert int(status) == 0, case
+        got = (np.asarray(r.re) + 1j * np.asarray(r.im))[: int(count)]
+
+        if coeffs[0] == 0.0:
+            # voxtpu implements the intended zero-root semantics the
+            # reference's workspace indexing cannot execute; compare root sets
+            # against numpy instead.
+            exp = np.roots(coeffs[::-1])
+        from scipy.optimize import linear_sum_assignment
+
+        exp = np.asarray(exp)
+        assert len(got) == len(exp), (case, got, exp)
+        cost = np.abs(got[:, None] - exp[None, :])
+        ri, ci = linear_sum_assignment(cost)
+        assert cost[ri, ci].max() < 1e-5, (case, coeffs, got, exp)
+
+
+def test_fuzz_burg():
+    rng = np.random.default_rng(3)
+    for case in range(40):
+        n = int(rng.integers(16, 200))
+        p = int(rng.integers(1, min(n // 2, 26)))
+        x = rng.standard_normal(n) * rng.choice([1e-3, 1.0, 1e3])
+        exp = ref.lpc_burg(x, p)
+        got, status = burg(jnp.asarray(x), p)
+        assert int(status) == 0
+        np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-7, atol=1e-9,
+                                   err_msg=str(case))
+
+
+def test_fuzz_interpolate_sinc():
+    from voxtpu.sinc import interpolate_sinc
+
+    rng = np.random.default_rng(11)
+    n = 128
+    bi = n // 2
+    offset = -bi - 1
+    nx = bi - offset
+    for case in range(20):
+        y = rng.standard_normal(2 * n)
+        depth = int(rng.choice([5, 30, 100]))
+        xs = rng.uniform(bi + 2.0, bi + 60.0, 16)
+        if rng.random() < 0.3:
+            xs[0] = float(int(xs[0]))  # integer snap path
+        got = np.asarray(
+            interpolate_sinc(jnp.asarray(y)[None], offset, nx,
+                             jnp.asarray(xs)[None], depth, max_x=float(nx))
+        )[0]
+        for x, g in zip(xs, got):
+            e = ref.interpolate_sinc(y, offset, nx, float(x), depth)
+            np.testing.assert_allclose(g, e, rtol=1e-8, atol=1e-10,
+                                       err_msg=f"case {case} x={x} depth={depth}")
+
+
+def test_fuzz_pitch_noise_frames():
+    from voxtpu.pitch import pitch_frames
+    from voxtpu.windows import hann
+
+    rng = np.random.default_rng(13)
+    n = 256
+    sr = 8000.0
+    w = np.asarray(hann(n))
+    for case in range(6):
+        x = rng.standard_normal(n) * w  # pure noise: many spurious candidates
+        exp = ref.pitch(x, sr, 0.2, 1.0, 1.0, 60.0, 500.0)
+        freq, strength, valid = pitch_frames(
+            jnp.asarray(x)[None], sr, threshold=0.2, fmin=60.0, fmax=500.0,
+            max_candidates=64,
+        )
+        got_f = np.asarray(freq)[0][np.asarray(valid)[0]]
+        got_s = np.asarray(strength)[0][np.asarray(valid)[0]]
+        assert len(got_f) == len(exp), (case, len(got_f), len(exp))
+        # Pair candidates by frequency (distinct per lag); strength-based
+        # pairing is unstable under fp noise for near-tied strengths.
+        gs = sorted(zip(got_f, got_s), key=lambda p: p[0])
+        es = sorted(exp, key=lambda p: p[0])
+        divergent = 0
+        for (gf, gss), (ef, ess) in zip(gs, es):
+            if abs(gf - ef) < max(1e-4 * abs(ef), 1e-5) and abs(gss - ess) < max(
+                1e-4 * abs(ess), 1e-5
+            ):
+                continue
+            # Brent is a local method; on noise the deep-sinc interpolant has
+            # near-tied local maxima inside the +/-1 bracket and ~1e-13 input
+            # differences (FFT vs naive autocorrelation) can flip which one
+            # wins. Allow rare divergence, but only within the same bracket.
+            lag_g, lag_e = sr / gf, sr / ef
+            assert abs(lag_g - lag_e) < 2.0, (case, gf, ef)
+            divergent += 1
+        assert divergent <= max(1, len(es) // 20), (case, divergent, len(es))
