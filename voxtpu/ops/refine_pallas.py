@@ -108,9 +108,7 @@ def _refine_subblock(sb, x0_ref, k_ref, valid_ref, row_ref, buf_ref,
         base_l = offset + nl_i + 1
 
         lo = jnp.clip(jnp.min(jnp.where(valid, base_l - md, P)), 0, P - CHUNK)
-        # +1 so col base_l (the m=0/n=1 boundary) is always visited, even for
-        # md == 0 lanes.
-        hi = jnp.clip(jnp.max(jnp.where(valid, base_r + md + 1, 0)), 0, P - 1)
+        hi = jnp.clip(jnp.max(jnp.where(valid, base_r + md, 0)), 0, P - 1)
         c_lo = lo // CHUNK
         nch = jnp.maximum(hi // CHUNK - c_lo + 1, 1)
 
@@ -129,30 +127,30 @@ def _refine_subblock(sb, x0_ref, k_ref, valid_ref, row_ref, buf_ref,
             tile = jnp.dot(sel, tile8, preferred_element_type=dt)  # (BLOCK, CHUNK)
             col = c0 + col_base  # (BLOCK, CHUNK)
 
-            # Left taps read cols [base-md, base+1], right taps
-            # [base, base+md]: each column serves exactly ONE side except the
-            # two boundary columns (c = base_r carries right n=0 and left m=1;
-            # c = base_l carries right n=1 and left m=0). Merge both sides
-            # into one coefficient stream per column — one cos/MAC per tile
-            # instead of two — and add the two boundary left-taps after the
-            # loop from the at_nl/at_nr neighbor sums.
+            # (Measured: predicating each side on jnp.any(active) with
+            # lax.cond is a net loss in Mosaic — branch overhead exceeds the
+            # saved transcendentals. Both sides run unconditionally.)
             n_r = col - base_r
-            is_left = n_r < 0
-            tap_i2 = jnp.where(is_left, base_l - col, n_r)
-            act = (tap_i2 >= 0) & (tap_i2 <= md)
-            phi = jnp.where(is_left, phil, phir)
-            sinphi = jnp.where(is_left, sin_l, sin_r)
-            rcp = jnp.where(is_left, taper_rcp_l, taper_rcp_r)
-            tap = tap_i2.astype(dt)
-            sign = 1.0 - 2.0 * (tap_i2 % 2).astype(dt)
-            a = jnp.pi * (phi + tap)
-            coef = (sinphi * sign / a) * (0.5 + 0.5 * jnp.cos(a * rcp))
+            act_r = (n_r >= 0) & (n_r <= md)
+            tap_r = n_r.astype(dt)
+            sign_r = 1.0 - 2.0 * (n_r % 2).astype(dt)
+            a_r = jnp.pi * (phir + tap_r)
+            coef_r = (sin_r * sign_r / a_r) * (0.5 + 0.5 * jnp.cos(a_r * taper_rcp_r))
             acc_r = acc_r + jnp.sum(
-                tile * jnp.where(act, coef, 0.0), axis=1, keepdims=True
+                tile * jnp.where(act_r, coef_r, 0.0), axis=1, keepdims=True
             )
 
-            # Values at the integer neighbors (for the 1e-10 snap returns and
-            # the boundary left-taps).
+            n_l = base_l - col
+            act_l = (n_l >= 0) & (n_l <= md)
+            tap_l = n_l.astype(dt)
+            sign_l = 1.0 - 2.0 * (n_l % 2).astype(dt)
+            a_l = jnp.pi * (phil + tap_l)
+            coef_l = (sin_l * sign_l / a_l) * (0.5 + 0.5 * jnp.cos(a_l * taper_rcp_l))
+            acc_l = acc_l + jnp.sum(
+                tile * jnp.where(act_l, coef_l, 0.0), axis=1, keepdims=True
+            )
+
+            # Values at the integer neighbors (for the 1e-10 snap returns).
             at_nl = at_nl + jnp.sum(jnp.where(n_r == 0, tile, 0.0), axis=1, keepdims=True)
             at_nr = at_nr + jnp.sum(jnp.where(n_r == 1, tile, 0.0), axis=1, keepdims=True)
             return acc_l, acc_r, at_nl, at_nr
@@ -161,15 +159,7 @@ def _refine_subblock(sb, x0_ref, k_ref, valid_ref, row_ref, buf_ref,
         acc_l, acc_r, at_nl, at_nr = jax.lax.fori_loop(
             0, nch, chunk_body, (zero, zero, zero, zero)
         )
-        # Boundary left-taps excluded from the merged stream: m=0 at col
-        # base_l (value = at_nr) and m=1 at col base_r (value = at_nl).
-        a_l0 = jnp.pi * phil
-        coef_l0 = (sin_l / a_l0) * (0.5 + 0.5 * jnp.cos(a_l0 * taper_rcp_l))
-        a_l1 = jnp.pi * (phil + 1.0)
-        coef_l1 = -(sin_l / a_l1) * (0.5 + 0.5 * jnp.cos(a_l1 * taper_rcp_l))
-        result = acc_l + acc_r + coef_l0 * at_nr + jnp.where(
-            md >= 1, coef_l1 * at_nl, 0.0
-        )
+        result = acc_l + acc_r
 
         # Integer-snap early returns (periodic.rs:41-42).
         result = jnp.where(jnp.abs(x - (nl + 1.0)) < 1e-10, at_nr, result)
