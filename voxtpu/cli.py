@@ -96,7 +96,11 @@ def cmd_analyze(args) -> int:
     from voxtpu.viterbi import PathConfig, pitch_path
 
     dtype = np.float64 if args.f64 else np.float32
-    samples, sr = _read(args.file, dtype)
+    try:
+        samples, sr = _read(args.file, dtype)
+    except Exception as e:
+        print(f"error: cannot read {args.file}: {type(e).__name__}: {e}", file=sys.stderr)
+        return 1
     config, _ = _build_config(args, sr)
 
     frames = frame_signal(jnp.asarray(samples), config.frame_len, config.hop)
@@ -166,7 +170,12 @@ def cmd_corpus(args) -> int:
         ):
             print(f"{path}: resume skip", file=sys.stderr)
             continue
-        samples, sr = _read(path, dtype)
+        try:
+            samples, sr = _read(path, dtype)
+        except Exception as e:
+            print(f"{path}: read error, skipping ({type(e).__name__}: {e})", file=sys.stderr)
+            manifest[path] = {"error": f"{type(e).__name__}: {e}"}
+            continue
         config, _ = _build_config(args, sr)
         frames = frame_signal(jnp.asarray(samples), config.frame_len, config.hop)
         if mesh is not None:
