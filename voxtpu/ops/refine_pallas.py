@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK = 8  # candidates per row block (f32 sublane count)
 SUBBLOCKS = 8  # row blocks per grid cell (amortizes ~1us/cell launch cost)
 CELL = BLOCK * SUBBLOCKS  # candidates per grid cell
-CHUNK = 128  # lag columns per tile (lane count)
+CHUNK = 256  # lag columns per tile (two lane groups per slice op; measured optimum)
 
 _GOLDEN = 1.0 - 0.6180339887498948482045868343656381177203091798057628621
 
