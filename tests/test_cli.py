@@ -53,3 +53,18 @@ def test_corpus_sharded(tmp_path):
     rc = main(["corpus", WAV, "-o", str(outdir2), "--f64", "--no-resume"])
     z2 = np.load(outdir2 / "short_sample.npz")
     np.testing.assert_allclose(z["f0"], z2["f0"], rtol=1e-6)
+
+
+def test_analyze_plot(tmp_path):
+    p = tmp_path / "plot.png"
+    rc = main(["analyze", WAV, "--fmax", "500", "--f64", "--plot", str(p)])
+    assert rc == 0
+    assert p.stat().st_size > 5000
+
+
+def test_analyze_unreadable_file(tmp_path, capsys):
+    bad = tmp_path / "bad.wav"
+    bad.write_text("not a wav")
+    rc = main(["analyze", str(bad), "--f64"])
+    assert rc == 1
+    assert "cannot read" in capsys.readouterr().err

@@ -117,12 +117,44 @@ def cmd_analyze(args) -> int:
         out["f0"], out["f0_strength"] = f0, s0
 
     out = {k: np.asarray(v) for k, v in out.items()}
+    if args.plot:
+        _plot(out, config.hop, sr, args.plot)
+        print(f"wrote {args.plot}", file=sys.stderr)
     if args.output:
         np.savez(args.output, **out)
         print(f"wrote {args.output} ({out['rms'].shape[0]} frames)", file=sys.stderr)
-    else:
+    elif not args.plot:
         _print_columns(out, config.hop, sr)
     return 0
+
+
+def _plot(out, hop, sample_rate, path):
+    """Formant trajectories + f0 + RMS over time (the built-in version of the
+    reference's gnuplot workflow, scripts/plot_formants.gnuplot)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    F = len(np.atleast_1d(out["rms"]))
+    t = np.arange(F) * hop / sample_rate
+    fig, (ax1, ax2) = plt.subplots(2, 1, sharex=True, figsize=(10, 6))
+    if "formant_freqs" in out:
+        ff = np.asarray(out["formant_freqs"])
+        for k in range(min(4, ff.shape[-1])):
+            ax1.plot(t, ff[:, k], ".", ms=3, label=f"F{k+1}")
+    if "f0" in out:
+        f0 = np.asarray(out["f0"]).copy()
+        f0[f0 <= 0] = np.nan
+        ax1.plot(t, f0, "k-", lw=1, label="f0")
+    ax1.set_ylabel("Hz")
+    ax1.legend(loc="upper right", fontsize=8)
+    ax2.plot(t, np.atleast_1d(out["rms"]), "b-", lw=1)
+    ax2.set_ylabel("RMS")
+    ax2.set_xlabel("time (s)")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
 
 
 def cmd_corpus(args) -> int:
@@ -233,6 +265,7 @@ def main(argv=None) -> int:
     sa = sub.add_parser("analyze", help="analyze one WAV file")
     sa.add_argument("file")
     sa.add_argument("--output", "-o", help="write .npz instead of columns")
+    sa.add_argument("--plot", help="write a formants/f0/RMS plot (PNG/SVG path)")
     common(sa)
     sa.set_defaults(fn=cmd_analyze)
 
