@@ -126,3 +126,20 @@ def test_hnr_output():
     hnr = np.asarray(out["hnr_db"])
     # Pure sine: very high HNR on every voiced frame.
     assert np.all(hnr > 20.0), hnr
+
+
+def test_viterbi_pipeline_silence_aware():
+    import dataclasses
+
+    rng = np.random.default_rng(9)
+    sr = 11025.0
+    cfg = small_config(sr)
+    cfg = dataclasses.replace(cfg, pitch=dataclasses.replace(cfg.pitch, viterbi=True))
+    # voiced segment followed by near-silence
+    t = np.arange(10 * 256 + 512) / sr
+    x = np.sin(2 * np.pi * 180 * t)
+    x[len(x) // 2 :] = 0.001 * rng.standard_normal(len(x) - len(x) // 2)
+    out = analyze(x, cfg)
+    f0 = np.asarray(out["f0"])
+    assert np.all(np.abs(f0[:3] - 180.0) < 2.0), f0  # voiced half tracked
+    assert np.all(f0[-3:] == 0.0), f0  # silent half unvoiced

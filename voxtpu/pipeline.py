@@ -135,7 +135,17 @@ def analyze_frames(
         if p.viterbi:
             from voxtpu.viterbi import PathConfig, pitch_path
 
-            f0, s0 = pitch_path(freq, strength, valid, PathConfig(ceiling=p.fmax))
+            # Praat's silence-aware unvoiced strength uses the frame's local
+            # absolute peak relative to the recording's global peak — the
+            # quantities the reference's pitch() accepts but ignores
+            # (periodic.rs:357 local_peak/global_peak).
+            local_peak = jnp.max(jnp.abs(frames), axis=-1)
+            global_peak = jnp.max(local_peak)
+            intensity = local_peak / jnp.maximum(global_peak, 1e-30)
+            f0, s0 = pitch_path(
+                freq, strength, valid, PathConfig(ceiling=p.fmax),
+                local_intensity=intensity,
+            )
             out["f0"], out["f0_strength"] = f0, s0
         else:
             out["f0"] = freq[..., 0]
