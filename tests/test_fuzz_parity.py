@@ -150,3 +150,36 @@ def test_fuzz_pitch_noise_frames():
             assert abs(lag_g - lag_e) < 2.0, (case, gf, ef)
             divergent += 1
         assert divergent <= max(1, len(es) // 20), (case, divergent, len(es))
+
+
+def test_fuzz_find_formants_synthetic_vowels():
+    """End-to-end formant pipeline vs oracle on synthetic vowels with
+    controlled resonances (damped sinusoids + noise)."""
+    from voxtpu.formants import find_formants
+
+    rng = np.random.default_rng(21)
+    sr = 10000.0
+    n, hop, order = 512, 256, 10
+    for case in range(4):
+        f1, f2 = rng.uniform(300, 900), rng.uniform(1200, 2600)
+        t = np.arange(8 * hop + n) / sr
+        x = (
+            np.sin(2 * np.pi * f1 * t)
+            + 0.6 * np.sin(2 * np.pi * f2 * t + 0.7)
+            + 0.01 * rng.standard_normal(t.shape)
+        )
+        F = (len(x) - n) // hop + 1
+        formants = [(f, 1.0) for f in ref.MALE_FORMANT_ESTIMATES]
+        exp = []
+        for i in range(F):
+            frame = x[i * hop : i * hop + n].copy()
+            ref.find_formants_frame(frame, sr, 1.0, order, formants)
+            exp.append([f for f, _ in formants])
+        exp = np.asarray(exp)
+
+        frames = np.stack([x[i * hop : i * hop + n] for i in range(F)])
+        freqs, bws, status = find_formants(jnp.asarray(frames), sr, order)
+        assert np.all(np.asarray(status) == 0), case
+        np.testing.assert_allclose(
+            np.asarray(freqs), exp, rtol=1e-6, atol=1e-4, err_msg=str(case)
+        )

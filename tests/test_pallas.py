@@ -129,3 +129,38 @@ def test_burg_kernel_matches_jnp():
     c3, s3 = burg(z, 4, backend="pallas_interpret")
     from voxtpu import errors
     assert np.all(np.asarray(s3) & errors.LPC_DENUM_NONPOS)
+
+
+def test_refine_kernel_f32_interpret():
+    """f32 interpret-mode run of the refine kernel: finite, bracket-bounded,
+    close to the f64 answer at f32's own Brent tolerance."""
+    rng = np.random.default_rng(17)
+    n = 256
+    bi = n // 2
+    offset = -bi - 1
+    nx = bi - offset
+    t = np.arange(2 * n)
+    y = (np.cos(2 * np.pi * t / 29.0) * np.exp(-t / 700.0)).astype(np.float32)
+    ys = np.stack([y, np.roll(y, 3)])
+    lags = rng.uniform(20.0, bi - 4, (2, 8))
+    x0 = (lags - offset + rng.uniform(-0.4, 0.4, (2, 8))).astype(np.float32)
+    valid = np.ones((2, 8), bool)
+
+    from voxtpu.sinc import _max_effective_depth
+
+    max_x = float(bi + 2 - offset)
+    T = _max_effective_depth(offset, nx, 1200, max_x)
+    xf, ff = brent_refine_pallas(
+        jnp.asarray(ys), jnp.asarray(x0), jnp.asarray(valid), offset, 1200, T,
+        interpret=True,
+    )
+    xd, fd = brent_refine_pallas(
+        jnp.asarray(ys, dtype=jnp.float64), jnp.asarray(x0, dtype=jnp.float64),
+        jnp.asarray(valid), offset, 1200, T, interpret=True,
+    )
+    assert np.all(np.isfinite(np.asarray(xf)))
+    # within the bracket; f32 Brent stops at tol_act ~ sqrt(eps_f32)*|x|
+    # (~0.08 lag at x~250), so agreement with f64 is at that granularity
+    # (0.06% relative — the documented fast-mode budget, test_fast_mode).
+    assert np.all(np.abs(np.asarray(xf) - x0) <= 1.0 + 1e-5)
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(xd), atol=0.15)
