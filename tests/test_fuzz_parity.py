@@ -158,9 +158,9 @@ def test_fuzz_find_formants_synthetic_vowels():
     from voxtpu.formants import find_formants
 
     rng = np.random.default_rng(21)
-    sr = 10000.0
     n, hop, order = 512, 256, 10
     for case in range(4):
+        sr = [10000.0, 16000.0, 22050.0, 10000.0][case]  # rate coverage
         f1, f2 = rng.uniform(300, 900), rng.uniform(1200, 2600)
         t = np.arange(8 * hop + n) / sr
         x = (
