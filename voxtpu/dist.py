@@ -129,6 +129,19 @@ def dryrun_multichip(n_devices: int) -> None:
     Exercises the full feature pipeline (pitch + formants + MFCC + RMS) with
     both mesh axes populated when possible, on tiny shapes.
     """
+    if jax.device_count() < n_devices:
+        # Likely running under a single-chip TPU platform; the virtual
+        # multi-device mesh lives on CPU.
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        if jax.device_count() < n_devices:
+            raise RuntimeError(
+                f"need {n_devices} devices, have {jax.device_count()}; set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices} (and JAX_PLATFORMS=cpu) before importing jax"
+            )
     devices = jax.devices()[:n_devices]
     files_axis = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
     frames_axis = n_devices // files_axis
