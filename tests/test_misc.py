@@ -173,3 +173,14 @@ def test_stereo_wav(tmp_path):
     assert wav.samples.shape == (10, 2)
     np.testing.assert_allclose(wav.samples[:, 0], np.arange(10) * 100 / 32767)
     np.testing.assert_allclose(wav.samples[:, 1], -np.arange(10) * 100 / 32767)
+
+
+def test_profiler_trace_smoke(tmp_path):
+    import jax
+    from voxtpu.profiling import trace
+
+    with trace(str(tmp_path / "trace")):
+        jax.block_until_ready(jnp.ones(64) * 2.0)
+    # trace directory should contain a profile dump
+    dumped = list((tmp_path / "trace").rglob("*"))
+    assert dumped, "no profiler output written"

@@ -143,3 +143,31 @@ def test_viterbi_pipeline_silence_aware():
     f0 = np.asarray(out["f0"])
     assert np.all(np.abs(f0[:3] - 180.0) < 2.0), f0  # voiced half tracked
     assert np.all(f0[-3:] == 0.0), f0  # silent half unvoiced
+
+
+def test_sharded_2d_mesh_matches_serial():
+    """files x frames mesh (2x2): per-file trajectories match serial."""
+    rng = np.random.default_rng(3)
+    sr = 11025.0
+    cfg = small_config(sr)
+    t = np.arange(8 * 256 + 512) / sr
+    sigs = np.stack([
+        np.sin(2 * np.pi * f * t) + 0.05 * rng.standard_normal(t.shape)
+        for f in (170.0, 240.0)
+    ])
+    frames = np.stack([
+        np.asarray(frame_signal(jnp.asarray(s), cfg.frame_len, cfg.hop))[:8]
+        for s in sigs
+    ])
+
+    mesh = make_mesh(2, 2)
+    out = sharded_analyze(jnp.asarray(frames), cfg, mesh, overlap=4)
+    for i in range(2):
+        serial = analyze_frames(jnp.asarray(frames[i]), cfg)
+        np.testing.assert_allclose(
+            np.asarray(out["f0"])[i], np.asarray(serial["f0"]), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["formant_freqs"])[i, 4:],
+            np.asarray(serial["formant_freqs"])[4:], rtol=1e-5,
+        )
