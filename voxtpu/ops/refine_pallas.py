@@ -20,8 +20,10 @@ per candidate; the reference spends ~13 ms per frame here). Design:
   proportionally less work (ragged execution via a traced fori bound,
   impossible in plain XLA).
 - `sin(pi(phi+n))` is one sin per lane via the (-1)^n identity; the Hann taper
-  cos is evaluated per tile on the VPU, fused with the MAC, and skipped for
-  tiles where no lane is active (@pl.when predication).
+  cos is evaluated per tile on the VPU, fused with the MAC (predicating or
+  merging the two tap sides was measured slower — see PERFORMANCE.md).
+- 64 candidates per grid cell (8 row blocks) amortize cell-launch overhead;
+  the Brent loop is a per-row-block early-exit while_loop.
 
 Numerics match voxtpu.sinc._WindowEval (which matches the reference's
 interpolate_sinc, periodic.rs:29-87) — pinned by interpret-mode equivalence

@@ -7,9 +7,11 @@ refinement.
 
 TPU design: the per-tap serial sum becomes one masked reduction over a static
 tap axis, batched over (frame, candidate) lanes; Brent's 60-iteration branchy
-loop becomes a fixed-trip `lax.fori_loop` whose lanes all run the same
+loop becomes an early-exit `lax.while_loop` whose lanes all run the same
 schedule with masked (frozen-when-converged) state, so the whole refinement
-stage is one dense vector program with no data-dependent control flow.
+stage is one dense vector program with no data-dependent control flow. (The
+jnp path here is the CPU/parity twin; the TPU fast path is the Pallas kernel
+in voxtpu/ops/refine_pallas.py, selected by `backend`.)
 
 Reference-exact quirks kept:
 - the depth-clipping rules, including the asymmetric `nx - offset + nl - 1`
@@ -250,7 +252,7 @@ def brent_maximize_sinc(
 ) -> tuple[jax.Array, jax.Array]:
     """Brent maximization of the sinc interpolant on (ixmid-1, ixmid+1).
 
-    Transcribes brent_maximize (periodic.rs:103-188) as a fixed-trip loop over
+    Transcribes brent_maximize (periodic.rs:103-188) as an early-exit loop over
     batched lanes. Returns (x, fx).
     """
     y = jnp.asarray(y)
