@@ -183,3 +183,32 @@ def test_fuzz_find_formants_synthetic_vowels():
         np.testing.assert_allclose(
             np.asarray(freqs), exp, rtol=1e-6, atol=1e-4, err_msg=str(case)
         )
+
+
+def test_fuzz_levinson():
+    from voxtpu.lpc import levinson
+    from voxtpu.autocorr import autocorrelate
+
+    rng = np.random.default_rng(31)
+    for case in range(30):
+        n = int(rng.integers(16, 128))
+        p = int(rng.integers(1, min(n - 2, 20)))
+        x = rng.standard_normal(n)
+        ac = np.array(autocorrelate(jnp.asarray(x), n))
+        exp = ref.lpc_levinson(ac, p)
+        got = np.asarray(levinson(jnp.asarray(ac), p))
+        np.testing.assert_allclose(got, exp, rtol=1e-8, atol=1e-10, err_msg=str(case))
+
+
+def test_fuzz_resample_linear():
+    from voxtpu.formants import resample_linear
+
+    rng = np.random.default_rng(33)
+    for case in range(20):
+        n = int(rng.integers(32, 400))
+        ratio = float(rng.uniform(0.2, 2.5))
+        out_len = int(np.ceil(ratio * n))
+        x = rng.standard_normal(n)
+        exp = ref.resample_linear(x, ratio, out_len)
+        got = np.asarray(resample_linear(jnp.asarray(x), ratio, out_len))
+        np.testing.assert_allclose(got, exp, rtol=1e-10, atol=1e-12, err_msg=str(case))
