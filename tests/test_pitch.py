@@ -99,3 +99,16 @@ def test_batched_matches_single():
         # Batched FFTs use different plans than single-frame ones; the tiny
         # rounding difference is amplified through Brent refinement.
         np.testing.assert_allclose(np.asarray(fb)[i], np.asarray(f1)[0], rtol=1e-6)
+
+
+def test_tiny_frames_both_backends():
+    # n=64 is the smallest frame the sinc tap sizing supports cleanly; both
+    # backends must agree and recover the tone.
+    for n, sr in ((64, 2000.0), (128, 4000.0)):
+        x = sine_hz(200.0, sr, n) * np.asarray(hann(n))
+        for be in ("jnp", "pallas_interpret"):
+            f, s, v = pitch_frames(
+                jnp.asarray(x)[None], sr, fmin=150.0, fmax=400.0,
+                max_candidates=8, refine_backend=be,
+            )
+            assert abs(float(f[0, 0]) - 200.0) < 0.5, (n, be, np.asarray(f))
