@@ -127,22 +127,38 @@ def pitch_frames(
     lag_lo = max(int(math.floor(sample_rate / fmax)) - 64, 1)
     lag_hi = min(int(math.ceil(sample_rate / fmin)) + 64, bi - 2)
     w0, w1 = lag_lo - 1, lag_hi  # column range for ix in [lag_lo, lag_hi]
+    B_ = cand.shape[0]
     if w1 - w0 <= C:
         keys = jnp.where(cand, -ix_f, neg_inf)
         _vals, order = jax.lax.top_k(keys, C)
+        cand_c = jnp.take_along_axis(cand, order, axis=-1)
     else:
         escaped = jnp.any(cand & ((ix < lag_lo) | (ix > lag_hi))[None, :])
 
         def full_range(_):
             keys = jnp.where(cand, -ix_f, neg_inf)
-            return jax.lax.top_k(keys, C)[1]
+            order = jax.lax.top_k(keys, C)[1].astype(jnp.int32)
+            return order, jnp.take_along_axis(cand, order, axis=-1)
 
         def windowed(_):
-            keys = jnp.where(cand[:, w0:w1], -ix_f[:, w0:w1], neg_inf)
-            return jax.lax.top_k(keys, C)[1] + w0
+            # Rank-compaction: cumsum gives each candidate its output slot;
+            # 32 masked reduces replace a sort (XLA's top_k) entirely.
+            candw = cand[:, w0:w1]
+            rank = jnp.cumsum(candw.astype(jnp.int32), axis=-1)
+            colw = jnp.arange(w0, w1, dtype=jnp.int32)[None, :]
+            sel = candw & (rank <= C)
+            order = jnp.stack(
+                [
+                    jnp.sum(jnp.where(sel & (rank == c + 1), colw, 0), axis=-1)
+                    for c in range(C)
+                ],
+                axis=-1,
+            )
+            nvalid = jnp.minimum(rank[:, -1], C)
+            cand_c = jnp.arange(C, dtype=jnp.int32)[None, :] < nvalid[:, None]
+            return order.astype(jnp.int32), cand_c
 
-        order = jax.lax.cond(escaped, full_range, windowed, None)
-    cand_c = jnp.take_along_axis(cand, order, axis=-1)
+        order, cand_c = jax.lax.cond(escaped, full_range, windowed, None)
     freq_c = jnp.take_along_axis(freq, order, axis=-1)
 
     offset = -bi - 1
