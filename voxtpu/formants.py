@@ -20,6 +20,7 @@ import math
 import jax
 import jax.numpy as jnp
 
+from voxtpu.backend import default_backend
 from voxtpu.cplx import C
 from voxtpu.lpc import burg
 from voxtpu.resonance import resonances_from_roots, sort_and_pack_resonances
@@ -173,13 +174,6 @@ def estimate_formants_step(
     return new_f.astype(dt), new_b.astype(dt)
 
 
-def _default_scan_backend() -> str:
-    try:
-        return "pallas" if jax.default_backend() in ("tpu", "axon") else "jnp"
-    except Exception:
-        return "jnp"
-
-
 def formant_tracker(
     res_freq: jax.Array,
     res_bw: jax.Array,
@@ -202,7 +196,7 @@ def formant_tracker(
 
     Returns (F, L) tracked formant frequencies and bandwidths.
     """
-    backend = backend or _default_scan_backend()
+    backend = backend or default_backend()
     if backend in ("pallas", "pallas_interpret"):
         from voxtpu.ops.formant_scan_pallas import mccandless_scan_pallas
 

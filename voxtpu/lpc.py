@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from voxtpu import errors
+from voxtpu.backend import default_backend
 
 __all__ = ["levinson", "burg", "LPCSolver"]
 
@@ -81,13 +82,6 @@ def levinson(ac: jax.Array, n_coeffs: int) -> jax.Array:
     return a
 
 
-def _default_backend() -> str:
-    try:
-        return "pallas" if jax.default_backend() in ("tpu", "axon") else "jnp"
-    except Exception:
-        return "jnp"
-
-
 def burg(x: jax.Array, n_coeffs: int, backend: str | None = None) -> tuple[jax.Array, jax.Array]:
     """Burg's method LPC on (windowed) samples, reference-exact.
 
@@ -116,7 +110,7 @@ def burg(x: jax.Array, n_coeffs: int, backend: str | None = None) -> tuple[jax.A
     batch = x.shape[:-1]
     dt = x.dtype
 
-    backend = backend or _default_backend()
+    backend = backend or default_backend()
     if backend in ("pallas", "pallas_interpret") and len(batch) == 1:
         from voxtpu.ops.burg_pallas import burg_pallas
 

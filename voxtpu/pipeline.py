@@ -12,7 +12,7 @@ only sequential computation — the 6-slot McCandless carry — runs as a
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from functools import partial
 
 import numpy as np

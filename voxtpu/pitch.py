@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from voxtpu.autocorr import autocorrelate
+from voxtpu.backend import default_backend
 from voxtpu.sinc import improve_extremum_sinc, interpolate_sinc
 from voxtpu.windows import hanning_lag
 
@@ -39,13 +40,6 @@ __all__ = ["pitch_frames", "best_pitch"]
 INTERPOLATION_DEPTH = 0.5  # periodic.rs:413
 STRENGTH_SINC_DEPTH = 30  # periodic.rs:433
 REFINE_SINC_DEPTH = 1200  # periodic.rs:444
-
-
-def _default_refine_backend() -> str:
-    try:
-        return "pallas" if jax.default_backend() in ("tpu", "axon") else "jnp"
-    except Exception:
-        return "jnp"
 
 
 @partial(
@@ -170,7 +164,7 @@ def pitch_frames(
     pos = jnp.where(cand_c, pos, float(bi))  # keep dead lanes in-range
     # Band-passed candidates satisfy sr/freq < sr/fmin, bounding the tap count.
     max_x = sample_rate / fmin - offset
-    backend = refine_backend or _default_refine_backend()
+    backend = refine_backend or default_backend()
     if backend in ("pallas", "pallas_interpret"):
         # One fused kernel pass computes the depth-30 strength at pos AND the
         # Brent-refined extremum (the two hot loops share the VMEM-resident
