@@ -112,3 +112,22 @@ def test_tiny_frames_both_backends():
                 max_candidates=8, refine_backend=be,
             )
             assert abs(float(f[0, 0]) - 200.0) < 0.5, (n, be, np.asarray(f))
+
+
+def test_improve_extremum_modes():
+    from voxtpu.sinc import improve_extremum
+
+    rng = np.random.default_rng(2)
+    y = rng.standard_normal((1, 64))
+    # none
+    x0, y0 = improve_extremum(jnp.asarray(y), 0, 32, jnp.asarray([[5.0]]), "none")
+    assert float(x0[0, 0]) == 0.0 and float(y0[0, 0]) == y[0, 0]
+    # parabolic vs reference transcription
+    ix = 7.0
+    xm, ym = improve_extremum(jnp.asarray(y), 0, 32, jnp.asarray([[ix]]), "parabolic")
+    mid, rev, fwd = y[0, 7], y[0, 6], y[0, 8]
+    diff = fwd - rev
+    dy = 0.5 * diff
+    d2y = 2.0 * mid - diff
+    assert abs(float(xm[0, 0]) - (ix + dy / d2y)) < 1e-12
+    assert abs(float(ym[0, 0]) - (mid + 0.5 * dy * dy / d2y)) < 1e-12

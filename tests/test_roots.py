@@ -144,3 +144,17 @@ def test_roots_against_numpy_random_monic():
         cost = np.abs(got[:, None] - exp[None, :])
         ri, ci = linear_sum_assignment(cost)
         assert cost[ri, ci].max() < 1e-6
+
+
+def test_div_polynomial():
+    from voxtpu.roots import div_polynomial
+
+    # (x^2 + 2.5x - 2) / (x + 2.5): quotient x, remainder p(-2.5)... use
+    # numpy polynomial division as the oracle.
+    c = cpoly([-2.0, 2.5, 1.0])
+    q, rem = div_polynomial(c, C(jnp.asarray(2.5), jnp.asarray(0.0)))
+    qn, rn = np.polydiv([1.0, 2.5, -2.0], [1.0, 2.5])
+    got_q = np.asarray(q.re)
+    np.testing.assert_allclose(got_q[:2], qn[::-1], atol=1e-12)
+    assert abs(float(got_q[2])) < 1e-12  # top zeroed
+    np.testing.assert_allclose(float(np.asarray(rem.re)[0]), rn[-1], atol=1e-12)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from voxtpu import errors
 from voxtpu.cplx import C, cadd, cdiv, cmul, cneg, cnorm, csqrt, csub
 
-__all__ = ["degree", "off_low", "laguerre", "find_roots"]
+__all__ = ["degree", "off_low", "laguerre", "find_roots", "div_polynomial"]
 
 
 def degree(c: C) -> jax.Array:
@@ -261,3 +261,29 @@ def find_roots(c: C) -> tuple[C, jax.Array, jax.Array]:
 
     count = deg.astype(jnp.int32)
     return C(roots_re, roots_im), count, status
+
+
+def div_polynomial(c: C, z: C) -> tuple[C, C]:
+    """Synthetic division by the monic linear factor (x - (-other)), i.e.
+    divide `c` by (x + z) — the reference's `div_polynomial(self, other)`
+    (polynomial.rs:155-204, where `other` is the constant of the divisor).
+
+    Returns (quotient, remainder): quotient coefficients (top zeroed as the
+    in-place version leaves them, polynomial.rs:174-181) and the remainder
+    polynomial (only index 0 meaningful, higher entries zero-filled).
+    """
+    re = jnp.asarray(c.re)
+    im = jnp.asarray(c.im)
+    batch = re.shape[:-1]
+    # _deflate divides by (x - root); dividing by (x + z) means root = -z.
+    root = cneg(C(jnp.broadcast_to(z.re, batch), jnp.broadcast_to(z.im, batch)))
+    active = jnp.ones(batch, dtype=bool)
+    q = _deflate(C(re, im), root, active)
+    # remainder = p(root) (the value the synthetic division bottoms out at)
+    n = re.shape[-1]
+    rem_val = C(re[..., n - 1], im[..., n - 1])
+    for j in range(n - 2, -1, -1):
+        rem_val = cadd(cmul(rem_val, root), C(re[..., j], im[..., j]))
+    rem_re = jnp.zeros_like(re).at[..., 0].set(rem_val.re)
+    rem_im = jnp.zeros_like(im).at[..., 0].set(rem_val.im)
+    return q, C(rem_re, rem_im)

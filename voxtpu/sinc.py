@@ -35,7 +35,8 @@ import math
 import jax
 import jax.numpy as jnp
 
-__all__ = ["interpolate_sinc", "brent_maximize_sinc", "improve_extremum_sinc"]
+__all__ = ["interpolate_sinc", "brent_maximize_sinc", "improve_extremum_sinc",
+           "improve_extremum"]
 
 
 def _max_effective_depth(offset: int, nx: int, max_depth: int, max_x: float) -> int:
@@ -404,4 +405,58 @@ def improve_extremum_sinc(
     past_end = ixmid >= nx
     xmid = jnp.where(at_zero, 0.0, jnp.where(past_end, float(nx), xb))
     ymid = jnp.where(at_zero, y0, jnp.where(past_end, y_last, fb))
+    return xmid, ymid
+
+
+def improve_extremum(
+    y: jax.Array,
+    offset: int,
+    nx: int,
+    ixmid: jax.Array,
+    interpolation: str = "sinc",
+    max_depth: int = 1200,
+    is_max: bool = True,
+    max_x: float | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """The reference's full `improve_extremum` (periodic.rs:192-230), batched.
+
+    interpolation: "none" (returns (0, y[0]), periodic.rs:197-199),
+    "parabolic" (3-point parabola with the reference's quirky second
+    difference `2*mid - (y[i+1] - y[i-1])`, periodic.rs:200-206), or "sinc"
+    (Brent over the windowed-sinc interpolant, periodic.rs:208-228).
+    Only is_max=True is supported for "sinc" (the only mode the reference
+    ever invokes, periodic.rs:444).
+    """
+    y = jnp.asarray(y)
+    ixmid = jnp.asarray(ixmid)
+    if interpolation == "sinc":
+        if not is_max:
+            raise NotImplementedError("is_max=False sinc mode")
+        return improve_extremum_sinc(y, offset, nx, ixmid, max_depth, max_x=max_x)
+
+    y0 = y[:, 0][:, None]
+    if interpolation == "none":
+        zero = jnp.zeros_like(ixmid)
+        return zero, jnp.broadcast_to(y0, ixmid.shape)
+    if interpolation != "parabolic":
+        raise ValueError(f"unknown interpolation: {interpolation}")
+
+    # Parabolic branch (periodic.rs:200-206): reads y at floor(ixmid)-1..+1.
+    i0 = jnp.floor(ixmid).astype(jnp.int32)
+    L = y.shape[-1]
+    ym = jnp.take_along_axis(y, jnp.clip(i0 - 1, 0, L - 1), axis=-1)
+    yc = jnp.take_along_axis(y, jnp.clip(i0, 0, L - 1), axis=-1)
+    yp = jnp.take_along_axis(y, jnp.clip(i0 + 1, 0, L - 1), axis=-1)
+    diff = yp - ym
+    dy = 0.5 * diff
+    d2y = 2.0 * yc - diff  # sic: periodic.rs:204 (textbook is 2*mid - ym - yp)
+    xmid = ixmid + dy / d2y
+    ymid = yc + 0.5 * dy * dy / d2y
+
+    # Edge cases (periodic.rs:193-194).
+    y_last = y[:, min(nx - 1, L - 1)][:, None]
+    at_zero = ixmid == 0.0
+    past_end = ixmid >= nx
+    xmid = jnp.where(at_zero, 0.0, jnp.where(past_end, float(nx), xmid))
+    ymid = jnp.where(at_zero, y0, jnp.where(past_end, y_last, ymid))
     return xmid, ymid
