@@ -171,3 +171,19 @@ def test_sharded_2d_mesh_matches_serial():
             np.asarray(out["formant_freqs"])[i, 4:],
             np.asarray(serial["formant_freqs"])[4:], rtol=1e-5,
         )
+
+
+def test_analyze_long_exact_chunk_boundary():
+    from voxtpu.pipeline import analyze_long
+
+    sr = 11025.0
+    cfg = small_config(sr)
+    # exactly 2 chunks of 6 frames
+    t = np.arange(11 * 256 + 512 - 256) / sr  # 12 frames
+    x = np.sin(2 * np.pi * 200 * t)
+    one = analyze(x, cfg)
+    chunked = analyze_long(x, cfg, chunk_frames=6)
+    np.testing.assert_allclose(
+        np.asarray(chunked["formant_freqs"]), np.asarray(one["formant_freqs"]),
+        rtol=1e-9,
+    )
