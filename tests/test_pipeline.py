@@ -99,6 +99,18 @@ def test_graft_entry():
     assert np.all(np.isfinite(np.asarray(out["f0"])))
 
 
+def test_graft_entry_dryrun_subprocess():
+    """The driver-facing dryrun must bootstrap its own multi-device CPU env
+    (VERDICT r1 #1: it previously assumed the calling process could still
+    switch platforms after jax initialized)."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(4)
+
+
 def test_analyze_long_matches_one_shot():
     from voxtpu.pipeline import analyze_long
 
