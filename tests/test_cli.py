@@ -41,18 +41,73 @@ def test_corpus_resume(tmp_path, capsys):
     assert "resume skip" in capsys.readouterr().err
 
 
-def test_corpus_sharded(tmp_path):
-    outdir = tmp_path / "sharded"
-    rc = main(["corpus", WAV, "-o", str(outdir), "--f64", "--sharded", "--no-resume"])
-    assert rc == 0
-    z = np.load(outdir / "short_sample.npz")
-    assert np.all(np.isfinite(z["mfcc"]))
+def _write_sine_wav(path, freq, sr=11025, seconds=0.6):
+    import wave
 
-    # matches the unsharded run (after the halo warmup; whole track here)
+    t = np.arange(int(sr * seconds)) / sr
+    x = (0.7 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+
+
+def test_corpus_sharded_dp_over_files(tmp_path):
+    """VERDICT r1 #4: the corpus runner must populate BOTH mesh axes — files
+    batched into (files, frames, n) blocks — and produce per-file npz that
+    matches the serial path, with the mesh recorded in the manifest.
+    5 same-config files on 8 virtual devices -> mesh {files: 4, frames: 2},
+    two blocks, the second padded from 1 to 4 files."""
+    wavdir = tmp_path / "wavs"
+    wavdir.mkdir()
+    freqs = {"a": 160.0, "b": 220.0, "c": 280.0, "d": 340.0, "e": 400.0}
+    for name, f in freqs.items():
+        _write_sine_wav(wavdir / f"{name}.wav", f, seconds=0.4 + 0.05 * f / 100)
+
+    outdir = tmp_path / "sharded"
+    rc = main(["corpus", str(wavdir / "*.wav"), "-o", str(outdir),
+               "--f64", "--sharded", "--no-resume"])
+    assert rc == 0
+    manifest = json.loads((outdir / "manifest.json").read_text())
+    rec = manifest[str(wavdir / "a.wav")]
+    assert rec["mesh"]["files"] > 1 and rec["mesh"]["frames"] > 1, rec["mesh"]
+
     outdir2 = tmp_path / "plain"
-    rc = main(["corpus", WAV, "-o", str(outdir2), "--f64", "--no-resume"])
-    z2 = np.load(outdir2 / "short_sample.npz")
-    np.testing.assert_allclose(z["f0"], z2["f0"], rtol=1e-6)
+    rc = main(["corpus", str(wavdir / "*.wav"), "-o", str(outdir2),
+               "--f64", "--no-resume"])
+    assert rc == 0
+    for name in freqs:
+        z = np.load(outdir / f"{name}.npz")
+        z2 = np.load(outdir2 / f"{name}.npz")
+        assert set(z.files) == set(z2.files)
+        for k in ("formant_freqs", "formant_bws", "rms", "mfcc", "status"):
+            np.testing.assert_allclose(z[k], z2[k], rtol=1e-9, err_msg=f"{name}:{k}")
+        np.testing.assert_allclose(z["f0"], z2["f0"], rtol=1e-6, err_msg=name)
+
+
+def test_corpus_sharded_viterbi(tmp_path):
+    """--viterbi in the corpus runner: path search runs per file on the
+    trimmed candidates (padding frames must not influence the DP)."""
+    wavdir = tmp_path / "wavs"
+    wavdir.mkdir()
+    _write_sine_wav(wavdir / "x.wav", 190.0, seconds=0.5)
+    _write_sine_wav(wavdir / "y.wav", 260.0, seconds=0.7)  # different F: pads
+
+    outdir = tmp_path / "shardedv"
+    rc = main(["corpus", str(wavdir / "*.wav"), "-o", str(outdir),
+               "--f64", "--sharded", "--viterbi", "--no-resume"])
+    assert rc == 0
+    outdir2 = tmp_path / "plainv"
+    rc = main(["corpus", str(wavdir / "*.wav"), "-o", str(outdir2),
+               "--f64", "--viterbi", "--no-resume"])
+    assert rc == 0
+    for name in ("x", "y"):
+        z, z2 = np.load(outdir / f"{name}.npz"), np.load(outdir2 / f"{name}.npz")
+        np.testing.assert_allclose(z["f0"], z2["f0"], rtol=1e-6, err_msg=name)
+        np.testing.assert_allclose(
+            z["f0_strength"], z2["f0_strength"], rtol=1e-6, err_msg=name
+        )
 
 
 def test_analyze_plot(tmp_path):

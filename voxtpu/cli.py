@@ -88,12 +88,34 @@ def _print_columns(out, hop, sample_rate, file=None):
         print(" ".join(cols), file=file)
 
 
+def _viterbi_post(out, frames, fmax):
+    """Swap the take-best f0 track for the Viterbi path (incl. the dependent
+    f0_strength/hnr_db features), using the same silence-aware intensity the
+    in-pipeline path uses (pipeline.py analyze_frames viterbi branch)."""
+    import jax.numpy as jnp
+
+    from voxtpu.pipeline import f0_outputs
+    from voxtpu.viterbi import PathConfig, pitch_path
+
+    local_peak = jnp.max(jnp.abs(jnp.asarray(frames)), axis=-1)
+    intensity = local_peak / jnp.maximum(jnp.max(local_peak), 1e-30)
+    f0, s0 = pitch_path(
+        out["pitch_candidates_freq"],
+        out["pitch_candidates_strength"],
+        out["pitch_candidates_valid"],
+        PathConfig(ceiling=fmax),
+        local_intensity=intensity,
+    )
+    out = dict(out)
+    out.update(f0_outputs(f0, s0))
+    return out
+
+
 def cmd_analyze(args) -> int:
     import jax.numpy as jnp
 
     from voxtpu.frame import frame_signal
     from voxtpu.pipeline import analyze_frames
-    from voxtpu.viterbi import PathConfig, pitch_path
 
     dtype = np.float64 if args.f64 else np.float32
     try:
@@ -107,14 +129,7 @@ def cmd_analyze(args) -> int:
     out = analyze_frames(frames, config)
 
     if args.viterbi and config.pitch.enabled:
-        f0, s0 = pitch_path(
-            out["pitch_candidates_freq"],
-            out["pitch_candidates_strength"],
-            out["pitch_candidates_valid"],
-            PathConfig(ceiling=args.fmax),
-        )
-        out = dict(out)
-        out["f0"], out["f0_strength"] = f0, s0
+        out = _viterbi_post(out, frames, args.fmax)
 
     out = {k: np.asarray(v) for k, v in out.items()}
     if args.plot:
@@ -158,7 +173,9 @@ def _plot(out, hop, sample_rate, path):
 
 
 def cmd_corpus(args) -> int:
-    """Analyze many files, sharded over the device mesh (files axis = DP)."""
+    """Analyze many files over the device mesh: same-config files batch into
+    (files, frames, n) blocks so BOTH mesh axes carry real work — files = DP
+    over recordings, frames = sequence sharding within each (SURVEY C28)."""
     import jax
     import jax.numpy as jnp
 
@@ -174,12 +191,9 @@ def cmd_corpus(args) -> int:
     os.makedirs(args.output_dir, exist_ok=True)
 
     dtype = np.float64 if args.f64 else np.float32
-    mesh = None
-    if args.sharded and jax.device_count() > 1:
-        from voxtpu.dist import make_mesh
-
-        mesh = make_mesh(1, jax.device_count())
-        print(f"sharding frames over {jax.device_count()} devices", file=sys.stderr)
+    n_dev = jax.device_count() if args.sharded else 1
+    if args.sharded and n_dev == 1:
+        print("--sharded requested but only 1 device; running serial", file=sys.stderr)
 
     # Resume support (SURVEY §5 checkpoint/resume: "corpus-runner progress
     # manifest"): files already present in the manifest with an unchanged
@@ -193,6 +207,28 @@ def cmd_corpus(args) -> int:
         except Exception:
             manifest = {}
 
+    def flush_manifest():
+        # Write-through after each file/block so an interrupted run resumes.
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    def save(path, out, sr, mesh_desc):
+        name = os.path.splitext(os.path.basename(path))[0] + ".npz"
+        np.savez(os.path.join(args.output_dir, name), **out)
+        manifest[path] = {
+            "output": name,
+            "frames": int(out["rms"].shape[0]),
+            "sample_rate": sr,
+            "mtime": os.path.getmtime(path),
+            "status_nonzero": int(np.count_nonzero(out.get("status", np.zeros(1)))),
+            "mesh": mesh_desc,
+        }
+        print(f"{path}: {manifest[path]['frames']} frames", file=sys.stderr)
+        flush_manifest()
+
+    # Pass 1: read + frame everything not resumable, grouped by config (same
+    # config = same compiled executable = batchable into one block).
+    pending: dict = {}
     for path in paths:
         prev = manifest.get(path)
         if (
@@ -209,30 +245,50 @@ def cmd_corpus(args) -> int:
             manifest[path] = {"error": f"{type(e).__name__}: {e}"}
             continue
         config, _ = _build_config(args, sr)
-        frames = frame_signal(jnp.asarray(samples), config.frame_len, config.hop)
-        if mesh is not None:
-            from voxtpu.dist import sharded_analyze
+        frames = np.asarray(frame_signal(jnp.asarray(samples), config.frame_len, config.hop))
+        pending.setdefault(config, []).append((path, sr, frames))
 
-            out = sharded_analyze(frames[None], config, mesh)
-            out = {k: np.asarray(v)[0] for k, v in out.items()}
-        else:
-            out = analyze_frames(frames, config)
+    for config, recs in pending.items():
+        if n_dev == 1:
+            for path, sr, frames in recs:
+                out = analyze_frames(jnp.asarray(frames), config)
+                if args.viterbi and config.pitch.enabled:
+                    out = _viterbi_post(out, frames, config.pitch.fmax)
+                save(path, {k: np.asarray(v) for k, v in out.items()}, sr, None)
+            continue
+
+        from voxtpu.dist import make_mesh, sharded_analyze
+
+        # files axis = the largest divisor of the device count that a block
+        # can fill; the rest of the devices shard the frame axis.
+        files_axis = max(d for d in range(1, n_dev + 1) if n_dev % d == 0 and d <= len(recs))
+        frames_axis = n_dev // files_axis
+        mesh = make_mesh(files_axis, frames_axis)
+        mesh_desc = {"files": files_axis, "frames": frames_axis}
+        print(
+            f"mesh {mesh_desc} for {len(recs)} file(s) @ frame_len {config.frame_len}",
+            file=sys.stderr,
+        )
+        for b0 in range(0, len(recs), files_axis):
+            block = recs[b0 : b0 + files_axis]
+            Fmax = max(r[2].shape[0] for r in block)
+            # Zero-pad each file to the block's frame count (an exact no-op
+            # for the formant carry; padded outputs are trimmed per file) and
+            # the block to the full files axis.
+            batch = np.zeros((files_axis, Fmax, config.frame_len), dtype=dtype)
+            for i, (_p, _sr, frames) in enumerate(block):
+                batch[i, : frames.shape[0]] = frames
+            out = sharded_analyze(jnp.asarray(batch), config, mesh)
             out = {k: np.asarray(v) for k, v in out.items()}
-        name = os.path.splitext(os.path.basename(path))[0] + ".npz"
-        np.savez(os.path.join(args.output_dir, name), **out)
-        manifest[path] = {
-            "output": name,
-            "frames": int(out["rms"].shape[0]),
-            "sample_rate": sr,
-            "mtime": os.path.getmtime(path),
-            "status_nonzero": int(np.count_nonzero(out.get("status", np.zeros(1)))),
-        }
-        print(f"{path}: {manifest[path]['frames']} frames", file=sys.stderr)
-        # Write-through after each file so an interrupted run resumes.
-        with open(manifest_path, "w") as f:
-            json.dump(manifest, f, indent=2)
-    with open(manifest_path, "w") as f:
-        json.dump(manifest, f, indent=2)
+            for i, (path, sr, frames) in enumerate(block):
+                F = frames.shape[0]
+                file_out = {k: v[i, :F] for k, v in out.items()}
+                if args.viterbi and config.pitch.enabled:
+                    file_out = _viterbi_post(file_out, frames, config.pitch.fmax)
+                    file_out = {k: np.asarray(v) for k, v in file_out.items()}
+                save(path, file_out, sr, mesh_desc)
+
+    flush_manifest()
     print(f"wrote {len(paths)} feature files to {args.output_dir}", file=sys.stderr)
     return 0
 

@@ -8,19 +8,35 @@ a first-class axis instead: a 2-D device mesh ("files", "frames") where
 - the **frames** axis shards the frame batch of one recording — the analogue
   of sequence parallelism for arbitrarily long audio.
 
-Every kernel is frame-parallel except the McCandless formant carry. For the
-frames axis we use the blockwise-scan scheme from SURVEY §5: each shard
-receives `overlap` halo frames from its left neighbor over ICI
-(`jax.lax.ppermute`), warms its 6-slot estimate state up on them, then scans
-its own frames; halo outputs are dropped. Shard 0's halo is zeroed — all-zero
-frames are an exact no-op for the tracker (zero resonances never win the
-write-back filter), so shard 0 starts from the configured seed estimates
-exactly. With `overlap` greater than the tracker's mixing time (a few frames
-in practice) shard boundaries converge to the serial trajectory.
+Every kernel is frame-parallel except the 6-slot McCandless formant carry
+(and the optional Viterbi pitch path). Those sequential stages consume tiny
+per-frame summaries (32 resonances / 32 pitch candidates per frame), so the
+expensive work (LPC, Laguerre roots, autocorrelation FFTs, Brent refinement)
+always runs fully sharded, and the carry is handled one of two ways:
+
+- **exact (default)**: the per-frame resonance buffers are gathered off the
+  shard_map and the McCandless scan runs over the full frame axis, exactly as
+  in the serial path — bit-identical to `analyze` per file, matching the
+  reference's strictly sequential `FormantExtractor` semantics
+  (/root/reference/src/spectrum.rs:336-369). The gathered state is
+  O(F * 32) floats; the scan is a negligible fraction of pipeline time
+  (PERFORMANCE.md), so exactness costs ~nothing.
+- **approximate (exact=False)**: each shard receives the last `overlap`
+  frames' *resonances* from its left neighbor over ICI (`jax.lax.ppermute`),
+  warms its estimate state on them, then scans its own frames; halo outputs
+  are dropped. Shard 0's halo is zeroed — all-zero resonance frames are an
+  exact no-op for the tracker, so shard 0 starts from the configured seed
+  exactly. With `overlap` past the tracker's mixing time the boundaries
+  converge to the serial trajectory. Fully local compute; no cross-shard
+  sequential dependency.
+
+Per-file isolation: the tracker (and Viterbi) run per file, never across file
+boundaries, including when one device holds several files.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import numpy as np
@@ -28,12 +44,14 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from voxtpu.formants import formant_tracker
 from voxtpu.pipeline import (
     AnalysisConfig,
     FormantConfig,
     MfccConfig,
     PitchConfig,
     analyze_frames,
+    f0_outputs,
 )
 
 __all__ = ["init_distributed", "make_mesh", "sharded_analyze", "dryrun_multichip"]
@@ -46,8 +64,9 @@ def init_distributed(coordinator_address: str | None = None, num_processes: int 
     Maps hosts over DCN and chips over ICI: put the "files" mesh axis on the
     host (process) dimension — each recording's frames stay on one host's
     chips, so the only cross-host traffic is input scatter and feature gather;
-    the frames-axis halo `ppermute` rides ICI within a host's slice. No-op in
-    single-process environments (args default from cluster env vars).
+    the frames-axis collectives ride ICI within a host's slice. Safe to call
+    in single-process environments: jax.distributed.initialize with
+    num_processes=1 is a local no-op cluster.
     """
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -65,16 +84,26 @@ def make_mesh(n_files_axis: int, n_frames_axis: int, devices=None) -> Mesh:
     return Mesh(grid, ("files", "frames"))
 
 
+def _track_per_file(rf, rb, est_f, est_b):
+    """McCandless tracker over (files, F, R) resonances, one independent
+    carry per file (the reference's estimates buffer is per recording)."""
+    outs = [formant_tracker(rf[i], rb[i], est_f, est_b) for i in range(rf.shape[0])]
+    return jnp.stack([o[0] for o in outs]), jnp.stack([o[1] for o in outs])
+
+
 def sharded_analyze(
     frames: jax.Array,
     config: AnalysisConfig,
     mesh: Mesh,
     overlap: int = 8,
+    exact: bool = True,
 ) -> dict:
     """Analyze (files, F, n) frames sharded over the mesh.
 
-    files axis -> "files" (DP); frame axis -> "frames" (sequence sharding with
-    halo hand-off for the formant carry).
+    files axis -> "files" (DP); frame axis -> "frames" (sequence sharding).
+    The sequential stages (formant carry, Viterbi pitch path) follow the
+    `exact` flag — see the module docstring. `overlap` only matters with
+    exact=False.
     """
     frames = jnp.asarray(frames)
     if frames.ndim == 2:
@@ -91,6 +120,20 @@ def sharded_analyze(
     # The halo cannot exceed a shard's own frame count.
     overlap = min(overlap, F // nshards)
 
+    do_formants = config.formant.enabled
+    do_viterbi = config.pitch.enabled and config.pitch.viterbi
+    # The sequential stages run outside analyze_frames (exactly, over the full
+    # frame axis, after trimming); inside the shard body everything must be
+    # frame-parallel.
+    inner = config
+    if do_viterbi:
+        inner = dataclasses.replace(
+            inner, pitch=dataclasses.replace(inner.pitch, viterbi=False)
+        )
+
+    est_f = jnp.asarray(config.formant.estimates, dtype=frames.dtype)
+    est_b = jnp.full_like(est_f, config.formant.estimate_bandwidth)
+
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -99,20 +142,37 @@ def sharded_analyze(
     )
     def run(local):  # (files_local, F_local, n)
         fl, Fl, _ = local.shape
-        if nshards > 1 and overlap > 0:
-            # halo: last `overlap` frames of the left neighbor, over ICI.
-            tail = local[:, -overlap:, :]
-            perm = [(i, (i + 1) % nshards) for i in range(nshards)]
-            halo = jax.lax.ppermute(tail, "frames", perm)
-            first = jax.lax.axis_index("frames") == 0
-            halo = jnp.where(first, jnp.zeros_like(halo), halo)
-            local = jnp.concatenate([halo, local], axis=1)
-
+        # Frame-parallel stages carry no cross-frame state, so flattening
+        # (files_local, F_local) into one batch is safe here — the sequential
+        # stages below always operate per file.
         flat = local.reshape(-1, local.shape[-1])
-        out = analyze_frames(flat, config)
-        out = {k: v.reshape((fl, local.shape[1]) + v.shape[1:]) for k, v in out.items()}
-        if nshards > 1 and overlap > 0:
-            out = {k: v[:, overlap:] for k, v in out.items()}
+        out = analyze_frames(flat, inner, return_formant_candidates=do_formants)
+        out = {k: v.reshape((fl, Fl) + v.shape[1:]) for k, v in out.items()}
+        if do_viterbi:
+            # Per-frame intensity summary for the silence-aware path search.
+            out["local_peak"] = jnp.max(jnp.abs(local), axis=-1)
+
+        if do_formants and not exact:
+            rf = out.pop("resonance_freqs")  # (fl, Fl, R)
+            rb = out.pop("resonance_bws")
+            if nshards > 1 and overlap > 0:
+                # Halo: the left neighbor's last `overlap` frames' resonances,
+                # over ICI. Far cheaper than re-deriving them from raw frames:
+                # the halo is (fl, overlap, 32) floats and the warmup re-runs
+                # only the 6-slot tracker step, not LPC/roots.
+                perm = [(i, (i + 1) % nshards) for i in range(nshards)]
+                halo_f = jax.lax.ppermute(rf[:, -overlap:], "frames", perm)
+                halo_b = jax.lax.ppermute(rb[:, -overlap:], "frames", perm)
+                first = jax.lax.axis_index("frames") == 0
+                halo_f = jnp.where(first, jnp.zeros_like(halo_f), halo_f)
+                halo_b = jnp.where(first, jnp.zeros_like(halo_b), halo_b)
+                rf = jnp.concatenate([halo_f, rf], axis=1)
+                rb = jnp.concatenate([halo_b, rb], axis=1)
+            freqs, bws = _track_per_file(rf, rb, est_f, est_b)
+            if nshards > 1 and overlap > 0:
+                freqs, bws = freqs[:, overlap:], bws[:, overlap:]
+            out["formant_freqs"] = freqs
+            out["formant_bws"] = bws
         return out
 
     # jit handles input resharding onto the mesh (eager shard_map requires
@@ -120,6 +180,35 @@ def sharded_analyze(
     out = jax.jit(run)(frames)
     if F_orig != F:
         out = {k: v[:, :F_orig] for k, v in out.items()}
+
+    if do_formants and exact:
+        # Exact carry: the full resonance sequence is tiny (F x 32 floats per
+        # file); run the strictly sequential scan over it whole, identically
+        # to the serial path (spectrum.rs:336-369 semantics), after trimming
+        # so padded frames never enter the carry.
+        rf = out.pop("resonance_freqs")
+        rb = out.pop("resonance_bws")
+        freqs, bws = _track_per_file(rf, rb, est_f, est_b)
+        out["formant_freqs"] = freqs
+        out["formant_bws"] = bws
+
+    if do_viterbi:
+        from voxtpu.viterbi import PathConfig, pitch_path
+
+        local_peak = out.pop("local_peak")  # (files, F_orig)
+        global_peak = jnp.max(local_peak, axis=1, keepdims=True)
+        intensity = local_peak / jnp.maximum(global_peak, 1e-30)
+        cfg = PathConfig(ceiling=config.pitch.fmax)
+        f0, s0 = jax.vmap(
+            lambda f, s, v, li: pitch_path(f, s, v, cfg, local_intensity=li)
+        )(
+            out["pitch_candidates_freq"],
+            out["pitch_candidates_strength"],
+            out["pitch_candidates_valid"],
+            intensity,
+        )
+        out.update(f0_outputs(f0, s0))
+
     return out
 
 
@@ -127,8 +216,18 @@ def dryrun_multichip(n_devices: int) -> None:
     """Compile + run one sharded analysis step on an n-device mesh.
 
     Exercises the full feature pipeline (pitch + formants + MFCC + RMS) with
-    both mesh axes populated when possible, on tiny shapes.
+    both mesh axes populated when possible, on tiny shapes — including
+    multiple files per device (per-file carry isolation) and the exact
+    cross-shard formant hand-off.
     """
+    # Exercise the multi-host init path (a 1-process no-op cluster) as far as
+    # a single host allows — must precede any backend-initializing jax call.
+    try:
+        init_distributed(
+            coordinator_address="localhost:12515", num_processes=1, process_id=0
+        )
+    except Exception as e:  # backend already initialized (e.g. under pytest)
+        print(f"init_distributed skipped: {type(e).__name__}: {e}")
     if jax.device_count() < n_devices:
         # Likely running under a single-chip TPU platform; the virtual
         # multi-device mesh lives on CPU.
@@ -151,7 +250,7 @@ def dryrun_multichip(n_devices: int) -> None:
     sr = 8000.0
     per_shard = 4
     F = frames_axis * per_shard
-    files = files_axis
+    files = 2 * files_axis  # 2 files per device row: per-file carry isolation
 
     rng = np.random.default_rng(0)
     t = np.arange(frame_len) / sr
@@ -165,15 +264,18 @@ def dryrun_multichip(n_devices: int) -> None:
         sample_rate=sr,
         frame_len=frame_len,
         hop=hop,
-        pitch=PitchConfig(fmin=150.0, fmax=400.0, max_candidates=8),
+        pitch=PitchConfig(fmin=150.0, fmax=400.0, max_candidates=8, viterbi=True),
         formant=FormantConfig(n_coeffs=8),
         mfcc=MfccConfig(num_coeffs=8, freq_hi=3500.0),
     )
 
-    out = sharded_analyze(jnp.asarray(frames), config, mesh, overlap=2)
+    out = sharded_analyze(jnp.asarray(frames), config, mesh, exact=True)
     out = jax.tree.map(lambda x: np.asarray(x), out)
     assert out["f0"].shape == (files, F), out["f0"].shape
     assert np.all(np.isfinite(out["mfcc"]))
+    # The approximate (halo) mode must compile + run on the same mesh too.
+    out2 = sharded_analyze(jnp.asarray(frames), config, mesh, overlap=2, exact=False)
+    assert np.asarray(out2["f0"]).shape == (files, F)
     print(
         f"dryrun_multichip ok: mesh={dict(mesh.shape)} f0 shape={out['f0'].shape} "
         f"status={out['status'].ravel().tolist()}"

@@ -33,6 +33,7 @@ __all__ = [
     "FEMALE_FORMANT_ESTIMATES",
     "estimate_formants_step",
     "formant_tracker",
+    "formant_candidates",
     "find_formants",
     "resample_linear",
 ]
@@ -239,6 +240,52 @@ def resample_linear(x: jax.Array, ratio: float, out_len: int) -> jax.Array:
     return left + (right - left) * frac
 
 
+def formant_candidates(
+    frames: jax.Array,
+    sample_rate: float,
+    n_coeffs: int,
+    resample_ratio: float = 1.0,
+    max_resonances: int = MAX_RESONANCES,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """The frame-parallel half of `find_formants` (lib.rs:40-110): resample ->
+    Hann window -> Burg LPC -> monic polynomial -> Laguerre roots -> sorted
+    resonance buffer. No cross-frame state — safe to shard/batch arbitrarily;
+    the sequential McCandless carry (`formant_tracker`) consumes the result.
+
+    Returns (rfreq (F, R), rbw (F, R), status (F,)).
+    """
+    frames = jnp.asarray(frames)
+    if frames.ndim == 1:
+        frames = frames[None]
+    F, n = frames.shape
+    dt = frames.dtype
+
+    if resample_ratio != 1.0:
+        out_len = int(math.ceil(resample_ratio * n))
+        buf = resample_linear(frames, resample_ratio, out_len)
+    else:
+        out_len = n
+        buf = frames
+
+    window = jnp.asarray(hann(out_len), dtype=dt)
+    buf = buf * window
+
+    coeffs, status = burg(buf, n_coeffs)
+
+    # Monic complex polynomial [1, a1..an] reversed (lib.rs:76-91):
+    # index k holds the coefficient of z^k; top coefficient is 1.
+    ones = jnp.ones((F, 1), dtype=dt)
+    poly_re = jnp.concatenate([coeffs[:, ::-1], ones], axis=-1)
+    poly_im = jnp.zeros_like(poly_re)
+
+    roots, _count, rstatus = find_roots(C(poly_re, poly_im))
+    status = status | rstatus
+
+    rfreq, rbw, valid = resonances_from_roots(roots, sample_rate, require_im_positive=True)
+    rfreq, rbw = sort_and_pack_resonances(rfreq, rbw, valid, max_resonances)
+    return rfreq, rbw, status
+
+
 def find_formants(
     frames: jax.Array,
     sample_rate: float,
@@ -272,35 +319,11 @@ def find_formants(
       (freqs (F, L), bws (F, L), status (F,)) — per-frame tracked formants
       and status bitmask.
     """
-    frames = jnp.asarray(frames)
-    if frames.ndim == 1:
-        frames = frames[None]
-    F, n = frames.shape
-    dt = frames.dtype
-
-    if resample_ratio != 1.0:
-        out_len = int(math.ceil(resample_ratio * n))
-        buf = resample_linear(frames, resample_ratio, out_len)
-    else:
-        out_len = n
-        buf = frames
-
-    window = jnp.asarray(hann(out_len), dtype=dt)
-    buf = buf * window
-
-    coeffs, status = burg(buf, n_coeffs)
-
-    # Monic complex polynomial [1, a1..an] reversed (lib.rs:76-91):
-    # index k holds the coefficient of z^k; top coefficient is 1.
-    ones = jnp.ones((F, 1), dtype=dt)
-    poly_re = jnp.concatenate([coeffs[:, ::-1], ones], axis=-1)
-    poly_im = jnp.zeros_like(poly_re)
-
-    roots, _count, rstatus = find_roots(C(poly_re, poly_im))
-    status = status | rstatus
-
-    rfreq, rbw, valid = resonances_from_roots(roots, sample_rate, require_im_positive=True)
-    rfreq, rbw = sort_and_pack_resonances(rfreq, rbw, valid, max_resonances)
+    rfreq, rbw, status = formant_candidates(
+        frames, sample_rate, n_coeffs,
+        resample_ratio=resample_ratio, max_resonances=max_resonances,
+    )
+    dt = rfreq.dtype
 
     est_f = jnp.asarray(estimates, dtype=dt)
     if estimate_bws is not None:

@@ -63,6 +63,7 @@ def load():
             ctypes.c_uint32,
             ctypes.c_int,
             ctypes.c_void_p,
+            ctypes.c_uint64,
         ]
         lib.voxtpu_wav_read.restype = ctypes.c_int
         for name in ("voxtpu_frame_f32", "voxtpu_frame_f64"):
@@ -97,7 +98,10 @@ def read_wav(path: str, dtype=np.float64, channel: int = 0):
         raise IOError(f"voxtpu_wav_info failed ({rc}) for {path}")
     f64 = np.dtype(dtype) == np.float64
     out = np.empty(n.value, dtype=np.float64 if f64 else np.float32)
-    rc = lib.voxtpu_wav_read(path.encode(), channel, int(f64), out.ctypes.data_as(ctypes.c_void_p))
+    rc = lib.voxtpu_wav_read(
+        path.encode(), channel, int(f64),
+        out.ctypes.data_as(ctypes.c_void_p), out.shape[0],
+    )
     if rc != 0:
         raise IOError(f"voxtpu_wav_read failed ({rc}) for {path}")
     return out, int(sr.value), int(bits.value)

@@ -113,13 +113,20 @@ int voxtpu_wav_info(const char* path, uint32_t* sample_rate, uint32_t* bits,
   return 0;
 }
 
-// Reads channel `chan` into out (length n from voxtpu_wav_info), float32 or
-// float64 depending on `f64`. Returns 0 on success.
-int voxtpu_wav_read(const char* path, uint32_t chan, int f64, void* out) {
+// Reads channel `chan` into out, float32 or float64 depending on `f64`.
+// `capacity` is the caller's element count (from voxtpu_wav_info); the file is
+// re-parsed here, so a file that grew between the two calls is clamped to
+// `capacity` samples instead of overflowing the buffer. Returns 0 on success.
+int voxtpu_wav_read(const char* path, uint32_t chan, int f64, void* out,
+                    uint64_t capacity) {
   FILE* f = fopen(path, "rb");
   if (!f) return 1;
   fseek(f, 0, SEEK_END);
   long len = ftell(f);
+  if (len < 0) {
+    fclose(f);
+    return 2;
+  }
   fseek(f, 0, SEEK_SET);
   std::vector<uint8_t> buf(len);
   if (fread(buf.data(), 1, len, f) != (size_t)len) {
@@ -133,12 +140,13 @@ int voxtpu_wav_read(const char* path, uint32_t chan, int f64, void* out) {
   if (chan >= info.channels) return 4;
   if (info.bits != 8 && info.bits != 16 && info.bits != 24 && info.bits != 32)
     return 5;
+  uint64_t n = info.n_frames < capacity ? info.n_frames : capacity;
   if (f64)
-    decode_samples(buf.data() + off, info.n_frames, info.bits, info.channels,
-                   chan, (double*)out);
+    decode_samples(buf.data() + off, n, info.bits, info.channels, chan,
+                   (double*)out);
   else
-    decode_samples(buf.data() + off, info.n_frames, info.bits, info.channels,
-                   chan, (float*)out);
+    decode_samples(buf.data() + off, n, info.bits, info.channels, chan,
+                   (float*)out);
   return 0;
 }
 

@@ -364,15 +364,24 @@ def improve_extremum_sinc(
     max_x: float | None = None,
     lane_mask: jax.Array | None = None,
     backend: str = "jnp",
+    is_max: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
-    """improve_extremum, Sinc branch, is_max=True (periodic.rs:208-228).
+    """improve_extremum, Sinc branch (periodic.rs:208-228).
 
     Edge cases ixmid == 0 / ixmid >= nx (periodic.rs:193-194) are handled with
     selects. Returns (xmid, ymid) batched.
 
+    is_max=False transcribes the reference's closure (periodic.rs:216-221):
+    Brent runs on the *negated* interpolant — the interpolant is linear in y,
+    so negating y is identical — and the returned ymid is that negated value;
+    the edge-case returns use raw y either way (periodic.rs:193-194 fire
+    before the closure exists).
+
     backend: "jnp" (dense XLA), "pallas" (TPU kernel), or "pallas_interpret"
     (kernel under the interpreter, for CPU equivalence tests).
     """
+    y = jnp.asarray(y)
+    yb = y if is_max else -y
     if backend in ("pallas", "pallas_interpret"):
         from voxtpu.ops.refine_pallas import brent_refine_pallas
 
@@ -386,7 +395,7 @@ def improve_extremum_sinc(
         )
         mx = max_x if max_x is not None else float(nx)
         xb, fb = brent_refine_pallas(
-            jnp.asarray(y),
+            yb,
             jnp.asarray(ixmid),
             mask,
             offset,
@@ -396,7 +405,7 @@ def improve_extremum_sinc(
             interpret=backend == "pallas_interpret",
         )
     else:
-        xb, fb = brent_maximize_sinc(y, offset, nx, ixmid, max_depth, max_x=max_x,
+        xb, fb = brent_maximize_sinc(yb, offset, nx, ixmid, max_depth, max_x=max_x,
                                      lane_mask=lane_mask)
     L = y.shape[-1]
     y0 = y[:, 0][:, None]
@@ -423,16 +432,16 @@ def improve_extremum(
     interpolation: "none" (returns (0, y[0]), periodic.rs:197-199),
     "parabolic" (3-point parabola with the reference's quirky second
     difference `2*mid - (y[i+1] - y[i-1])`, periodic.rs:200-206), or "sinc"
-    (Brent over the windowed-sinc interpolant, periodic.rs:208-228).
-    Only is_max=True is supported for "sinc" (the only mode the reference
-    ever invokes, periodic.rs:444).
+    (Brent over the windowed-sinc interpolant, periodic.rs:208-228;
+    is_max=False negates the interpolant inside Brent, periodic.rs:216-221 —
+    a mode the reference itself never invokes, periodic.rs:444).
     """
     y = jnp.asarray(y)
     ixmid = jnp.asarray(ixmid)
     if interpolation == "sinc":
-        if not is_max:
-            raise NotImplementedError("is_max=False sinc mode")
-        return improve_extremum_sinc(y, offset, nx, ixmid, max_depth, max_x=max_x)
+        return improve_extremum_sinc(
+            y, offset, nx, ixmid, max_depth, max_x=max_x, is_max=is_max
+        )
 
     y0 = y[:, 0][:, None]
     if interpolation == "none":
