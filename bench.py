@@ -91,14 +91,17 @@ def main():
 
     run_and_fetch()  # compile + warmup
 
-    iters = 5
-    best = float("inf")
+    # Median of 9: robust to tunnel jitter in both directions (best-of-N
+    # overstates by riding lucky dispatch latency; VERDICT r1 weak #4).
+    iters = 9
+    times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         run_and_fetch()
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
 
-    xrt = audio_seconds / best
+    xrt = audio_seconds / med
     baseline_xrt = 0.0929 / 0.01319776  # reference bench_pitch, ~7.04x RT
     result = {
         "metric": "pitch+formant+mfcc throughput",

@@ -12,16 +12,16 @@ import time
 import numpy as np
 
 
-def timeit(fn, frames, iters=3):
+def timeit(fn, frames, iters=5):
+    # ONE fused scalar checksum per run: each np.asarray is a ~25 ms tunnel
+    # roundtrip, and fetching whole feature arrays ships megabytes — both
+    # would swamp the device time being measured.
     out = fn(frames)
-    flat, _ = __import__("jax").tree.flatten(out)
-    np.asarray(flat[0])  # warm + sync
+    np.asarray(out).ravel()[:1]  # warm + sync
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(frames)
-        flat, _ = __import__("jax").tree.flatten(out)
-        s = sum(float(np.asarray(x).sum()) for x in flat if x.dtype.kind == "f")
+        float(np.asarray(fn(frames)).sum())
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -59,8 +59,13 @@ def main():
         "full": AnalysisConfig(sr, frame_len, hop, PitchConfig(max_candidates=32), FormantConfig(n_coeffs=13), MfccConfig(num_coeffs=13, freq_hi=8000.0)),
     }
     for name, cfg in variants.items():
-        fn = jax.jit(lambda f, c=cfg: analyze_frames(f, c))
-        t = timeit(fn, frames)
+
+        def checksummed(f, c=cfg):
+            out = analyze_frames(f, c)
+            leaves = jax.tree_util.tree_flatten(out)[0]
+            return jnp.stack([jnp.sum(l.astype(jnp.float32)) for l in leaves]).sum()
+
+        t = timeit(jax.jit(checksummed), frames)
         print(f"{name:10s}: {t*1e3:9.2f} ms  -> {audio/t:10.0f} x real-time", flush=True)
 
 

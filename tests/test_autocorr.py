@@ -68,13 +68,40 @@ def test_partial_lags():
     np.testing.assert_allclose(out, naive_quirk_ac(x, 16), rtol=1e-9, atol=1e-10)
 
 
-def test_power_and_ac_matmul_matches_fft():
+def test_power_and_ac_ct_matches_fft():
+    """CT matmul backend == FFT backend (voxtpu/ops/ct_fft.py). On CPU f64
+    the matmuls are true f64, so agreement is tight — this pins the CT
+    decomposition's math; the on-chip f32 divergence (~2e-7 rel) is
+    characterized in scripts/perf_fft_ct.py / PERFORMANCE.md."""
     from voxtpu.autocorr import power_and_autocorrelate
 
     rng = np.random.default_rng(9)
-    x = jnp.asarray(rng.standard_normal((4, 128)))
-    p1, a1 = power_and_autocorrelate(x, use_matmul_ifft=False)
-    p2, a2 = power_and_autocorrelate(x, use_matmul_ifft=True)
-    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-12)
-    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-6, atol=1e-8)
-    np.testing.assert_allclose(np.asarray(a1), np.asarray(autocorrelate(x)), rtol=1e-9, atol=1e-9)
+    for n in (128, 512, 4096):
+        x = jnp.asarray(rng.standard_normal((4, n)))
+        p1, a1 = power_and_autocorrelate(x, backend="fft")
+        p2, a2 = power_and_autocorrelate(x, backend="ct")
+        assert p1.shape == p2.shape == (4, n // 2 + 1)
+        scale = float(np.abs(np.asarray(p1)).max())
+        np.testing.assert_allclose(
+            np.asarray(p2) / scale, np.asarray(p1) / scale, rtol=1e-9, atol=1e-12
+        )
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(a1), np.asarray(autocorrelate(x)), rtol=1e-9, atol=1e-9
+        )
+
+
+def test_power_and_ac_ct_odd_length():
+    """Non-power-of-two frame: nfft = next_pow2(2n) > 2n; the CT half-power
+    even-bin identity needs nfft == 2n, so only ac is comparable here."""
+    from voxtpu.autocorr import power_and_autocorrelate
+    from voxtpu.ops.ct_fft import ct_autocorr, ct_power
+
+    rng = np.random.default_rng(11)
+    n = 300  # nfft = 1024
+    x = rng.standard_normal((3, n))
+    _, a1 = power_and_autocorrelate(jnp.asarray(x), backend="fft", quirk=False)
+    p = ct_power(jnp.asarray(x), 1024)
+    a2 = ct_autocorr(p, n)
+    np.testing.assert_allclose(np.asarray(a2)[..., 1:], np.asarray(a1)[..., 1:],
+                               rtol=1e-9, atol=1e-9)

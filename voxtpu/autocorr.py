@@ -30,58 +30,60 @@ def _next_pow2(n: int) -> int:
     return 1 << (int(n) - 1).bit_length()
 
 
-@functools.lru_cache(maxsize=8)
-def _icos_matrix(nfft: int, n_out: int) -> "np.ndarray":
-    """Inverse-DFT-of-real-even-spectrum as a cosine matrix: the first n_out
-    lags of irfft(power) equal power @ M with
-    M[k, lag] = s_k * cos(2*pi*k*lag/nfft) / nfft, s_k = 1 for k in {0, n/2}
-    else 2. On TPU this (half+1, n_out) matmul runs on the MXU several times
-    faster than the XLA irfft."""
-    import numpy as np
-
-    half = nfft // 2 + 1
-    k = np.arange(half)[:, None]
-    lag = np.arange(n_out)[None, :]
-    m = np.cos(2.0 * np.pi * k * lag / nfft) / nfft
-    m[1 : half - 1] *= 2.0
-    return m  # float64; cast to the working dtype at use
-
-
 def power_and_autocorrelate(
     x: jax.Array, n_coeffs: int | None = None, quirk: bool = True,
-    use_matmul_ifft: bool | None = None,
+    backend: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Autocorrelation plus the half power spectrum it was computed from.
+    """Autocorrelation plus the n-point half power spectrum, one transform.
 
     For power-of-two frames nfft == 2n, so the n-point FFT bins the MFCC
-    filterbank needs are exactly the even bins of this power spectrum
-    (X_n[k] == X_2n[2k] for a zero-padded real frame) — one batched FFT
-    serves both features. Returns (power (..., nfft//2+1), ac (..., n_coeffs)).
+    filterbank needs are exactly the even bins of the 2n-point power spectrum
+    (X_n[k] == X_2n[2k] for a zero-padded real frame) — one batched transform
+    serves both features. Returns (half_power (..., n//2+1), ac (..., n_coeffs)).
+
+    backend:
+      "fft" — XLA rfft/irfft (exact parity; the CPU default).
+      "ct"  — four-step Cooley-Tukey matmul decomposition on the MXU
+              (voxtpu.ops.ct_fft; 1.8x faster on v5e at HIGHEST matmul
+              precision, max divergence ~2e-7 relative in f32). The TPU
+              default when the shape supports it.
+      None  — auto per voxtpu.backend.default_backend().
     """
     x = jnp.asarray(x)
     n = x.shape[-1]
     if n_coeffs is None:
         n_coeffs = n
     nfft = _next_pow2(2 * n)
-    spec = jnp.fft.rfft(x, n=nfft, axis=-1)
-    power = (spec.real**2 + spec.imag**2).astype(x.dtype)
-    if use_matmul_ifft is None:
-        # Measured on v5e: the f32 cosine matmul is slower than XLA's irfft at
-        # these shapes (f32 MXU throughput); keep the FFT. The option remains
-        # for bf16-tolerant callers.
-        use_matmul_ifft = False
-    if use_matmul_ifft:
-        m = jnp.asarray(_icos_matrix(nfft, n_coeffs), dtype=x.dtype)
-        ac = jax.lax.dot_general(
-            power, m, (((power.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=x.dtype,
-        )
+
+    from voxtpu.ops.ct_fft import ct_supported
+
+    ct_ok = ct_supported(nfft) and nfft == 2 * n
+    if backend is None:
+        from voxtpu.backend import default_backend
+
+        backend = "ct" if default_backend() == "pallas" and ct_ok else "fft"
+    elif backend == "ct" and not ct_ok:
+        backend = "fft"  # half-power even-bin identity needs nfft == 2n
+
+    if backend == "ct":
+        from voxtpu.ops.ct_fft import ct_autocorr, ct_half_power, ct_power
+
+        shape = x.shape
+        xb = x.reshape(-1, n)
+        p_perm = ct_power(xb, nfft)
+        half = ct_half_power(p_perm, n // 2 + 1).reshape(shape[:-1] + (n // 2 + 1,))
+        ac = ct_autocorr(p_perm, n_coeffs).reshape(shape[:-1] + (n_coeffs,))
     else:
+        spec = jnp.fft.rfft(x, n=nfft, axis=-1)
+        power = (spec.real**2 + spec.imag**2).astype(x.dtype)
+        half = power[..., ::2] if nfft == 2 * n else jnp.abs(
+            jnp.fft.rfft(x, n=n, axis=-1)
+        ) ** 2
         ac = jnp.fft.irfft(power, n=nfft, axis=-1)[..., :n_coeffs].astype(x.dtype)
     if quirk:
         x0 = x[..., :1]
         ac = ac - x0 * x[..., :n_coeffs] + x0
-    return power, ac
+    return half, ac
 
 
 def autocorrelate(x: jax.Array, n_coeffs: int | None = None, quirk: bool = True) -> jax.Array:

@@ -73,11 +73,28 @@ class AnalysisConfig:
     mfcc: MfccConfig = field(default_factory=MfccConfig)
 
 
-@partial(jax.jit, static_argnames=("config",))
+def f0_outputs(f0: jax.Array, strength: jax.Array) -> dict:
+    """f0 / f0_strength / hnr_db features from a chosen pitch track.
+
+    Harmonics-to-noise ratio: the candidate strength IS the normalized
+    autocorrelation at the pitch lag (periodic.rs:387-392 calls it the HNR
+    rating); in dB: 10*log10(r / (1-r)), Boersma 1993 eq. 4.
+    """
+    s_best = jnp.clip(strength, 1e-6, 1.0 - 1e-6)
+    hnr = 10.0 * jnp.log10(s_best / (1.0 - s_best))
+    return {
+        "f0": f0,
+        "f0_strength": strength,
+        "hnr_db": jnp.where(f0 > 0, hnr, -jnp.inf * jnp.ones_like(hnr)),
+    }
+
+
+@partial(jax.jit, static_argnames=("config", "return_formant_candidates"))
 def analyze_frames(
     frames: jax.Array,
     config: AnalysisConfig,
     formant_estimates: tuple[jax.Array, jax.Array] | None = None,
+    return_formant_candidates: bool = False,
 ) -> dict:
     """Analyze rectangular frames (F, n): returns the full feature dict.
 
@@ -88,6 +105,12 @@ def analyze_frames(
     formant_estimates: optional traced (freqs, bws) arrays overriding the
     config's starting estimates — the carry hand-off for chunked/streaming
     analysis (see `analyze_long`).
+
+    return_formant_candidates: skip the sequential McCandless tracker and
+    return the per-frame resonance buffers ("resonance_freqs"/"resonance_bws")
+    instead of "formant_freqs"/"formant_bws" — everything in the output is
+    then frame-parallel, which is what `voxtpu.dist.sharded_analyze` needs to
+    shard frames freely and run the carry exactly across shards.
     """
     frames = jnp.asarray(frames)
     sr = config.sample_rate
@@ -120,8 +143,7 @@ def analyze_frames(
     if share_fft:
         from voxtpu.autocorr import power_and_autocorrelate
 
-        power2n, shared_ac = power_and_autocorrelate(windowed, n)
-        shared_half_power = power2n[..., ::2]
+        shared_half_power, shared_ac = power_and_autocorrelate(windowed, n)
 
     if config.pitch.enabled:
         p = config.pitch
@@ -146,31 +168,34 @@ def analyze_frames(
                 freq, strength, valid, PathConfig(ceiling=p.fmax),
                 local_intensity=intensity,
             )
-            out["f0"], out["f0_strength"] = f0, s0
+            out.update(f0_outputs(f0, s0))
         else:
-            out["f0"] = freq[..., 0]
-            out["f0_strength"] = strength[..., 0]
-        # Harmonics-to-noise ratio: the candidate strength IS the normalized
-        # autocorrelation at the pitch lag (periodic.rs:387-392 calls it the
-        # HNR rating); in dB: 10*log10(r / (1-r)), Boersma 1993 eq. 4.
-        s_best = jnp.clip(out["f0_strength"], 1e-6, 1.0 - 1e-6)
-        hnr = 10.0 * jnp.log10(s_best / (1.0 - s_best))
-        out["hnr_db"] = jnp.where(out["f0"] > 0, hnr, -jnp.inf * jnp.ones_like(hnr))
+            out.update(f0_outputs(freq[..., 0], strength[..., 0]))
 
     if config.formant.enabled:
         f = config.formant
-        if formant_estimates is not None:
-            est_f, est_b = formant_estimates
+        if return_formant_candidates:
+            from voxtpu.formants import formant_candidates
+
+            rfreq, rbw, status = formant_candidates(
+                frames, sr, f.n_coeffs, resample_ratio=f.resample_ratio,
+            )
+            out["resonance_freqs"] = rfreq
+            out["resonance_bws"] = rbw
+            out["status"] = status | input_status
         else:
-            est_f, est_b = f.estimates, None
-        freqs, bws, status = find_formants(
-            frames, sr, f.n_coeffs, resample_ratio=f.resample_ratio,
-            estimates=est_f, estimate_bandwidth=f.estimate_bandwidth,
-            estimate_bws=est_b,
-        )
-        out["formant_freqs"] = freqs
-        out["formant_bws"] = bws
-        out["status"] = status | input_status
+            if formant_estimates is not None:
+                est_f, est_b = formant_estimates
+            else:
+                est_f, est_b = f.estimates, None
+            freqs, bws, status = find_formants(
+                frames, sr, f.n_coeffs, resample_ratio=f.resample_ratio,
+                estimates=est_f, estimate_bandwidth=f.estimate_bandwidth,
+                estimate_bws=est_b,
+            )
+            out["formant_freqs"] = freqs
+            out["formant_bws"] = bws
+            out["status"] = status | input_status
     else:
         out["status"] = input_status
 
@@ -199,19 +224,38 @@ def analyze_long(samples, config: AnalysisConfig, chunk_frames: int = 4096) -> d
     one-shot `analyze`.
 
     Frames are processed `chunk_frames` at a time (one compiled executable,
-    reused across chunks); the only cross-chunk state — the McCandless
-    formant-estimate carry — is handed from each chunk's last frame into the
-    next chunk's starting estimates, so the tracked trajectory is exactly the
-    serial one. Memory stays bounded at O(chunk_frames * frame_len).
+    reused across chunks). Cross-chunk state is handled exactly:
+
+    - the McCandless formant-estimate carry is handed from each chunk's last
+      frame into the next chunk's starting estimates, so the tracked
+      trajectory is exactly the serial one;
+    - with ``config.pitch.viterbi`` the path search (and its whole-recording
+      intensity peak) cannot be chunk-local — per-chunk candidates and frame
+      peaks are collected and the Viterbi DP runs once over the concatenated
+      arrays at the end, matching the one-shot path exactly.
+
+    Per-chunk device compute is O(chunk_frames * frame_len); the collected
+    per-frame *features* (a few hundred floats per frame, frame_len-free)
+    grow O(total_frames) until the final concatenation.
     """
     samples = jnp.asarray(samples)
     F = num_frames(samples.shape[-1], config.frame_len, config.hop)
     if F <= chunk_frames:
         return analyze(samples, config)
 
+    do_viterbi = config.pitch.enabled and config.pitch.viterbi
+    inner = config
+    if do_viterbi:
+        import dataclasses
+
+        inner = dataclasses.replace(
+            config, pitch=dataclasses.replace(config.pitch, viterbi=False)
+        )
+
     hop, n = config.hop, config.frame_len
     est = None
     chunks = []
+    peaks = []
     for i0 in range(0, F, chunk_frames):
         i1 = min(i0 + chunk_frames, F)
         seg = samples[i0 * hop : (i1 - 1) * hop + n]
@@ -221,9 +265,27 @@ def analyze_long(samples, config: AnalysisConfig, chunk_frames: int = 4096) -> d
             # pad to the compiled shape; padded outputs are trimmed below and
             # zero frames are a formant-tracker no-op, so the carry is exact.
             frames = jnp.pad(frames, [(0, chunk_frames - nf), (0, 0)])
-        out = analyze_frames(frames, config, formant_estimates=est)
+        out = analyze_frames(frames, inner, formant_estimates=est)
         if config.formant.enabled:
             est = (out["formant_freqs"][nf - 1], out["formant_bws"][nf - 1])
+        if do_viterbi:
+            peaks.append(jnp.max(jnp.abs(frames), axis=-1)[:nf])
         chunks.append({k: v[:nf] for k, v in out.items()})
 
-    return {k: jnp.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+    full = {k: jnp.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+
+    if do_viterbi:
+        from voxtpu.viterbi import PathConfig, pitch_path
+
+        local_peak = jnp.concatenate(peaks)
+        intensity = local_peak / jnp.maximum(jnp.max(local_peak), 1e-30)
+        f0, s0 = pitch_path(
+            full["pitch_candidates_freq"],
+            full["pitch_candidates_strength"],
+            full["pitch_candidates_valid"],
+            PathConfig(ceiling=config.pitch.fmax),
+            local_intensity=intensity,
+        )
+        full.update(f0_outputs(f0, s0))
+
+    return full
