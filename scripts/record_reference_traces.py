@@ -70,6 +70,50 @@ def main():
         mf.append(ref.mfcc(frame, 13, (100.0, 5000.0), sr))
     out["short_mfcc"] = np.asarray(mf)
 
+    # --- synth_16k.wav: 16 kHz trace set (VERDICT r1 #6 — a second sample
+    # rate catches rate-dependent regressions in lag windows / mel edges).
+    wav16 = read_wav(os.path.join(FIX, "synth_16k.wav"))
+    sr16 = float(wav16.sample_rate)
+    s16 = wav16.samples
+
+    # formants: 64 ms bins / 32 ms hops, order 12
+    bin_, hop, order = 1024, 512, 12
+    F = (len(s16) - bin_) // hop + 1
+    formants = [(f, 1.0) for f in ref.MALE_FORMANT_ESTIMATES]
+    ff, fb = [], []
+    for i in range(F):
+        frame = s16[i * hop : i * hop + bin_].copy()
+        ref.find_formants_frame(frame, sr16, 1.0, order, formants)
+        ff.append([f for f, _ in formants])
+        fb.append([b for _, b in formants])
+    out["synth16k_formant_freqs"] = np.asarray(ff)
+    out["synth16k_formant_bws"] = np.asarray(fb)
+
+    # pitch candidates: 32 ms bins / 16 ms hops, hann
+    bin_, hop = 512, 256
+    F = (len(s16) - bin_) // hop + 1
+    w = ref.hanning(bin_)
+    cand_f = np.zeros((F, 33))
+    cand_s = np.zeros((F, 33))
+    cand_n = np.zeros(F, dtype=np.int32)
+    for i in range(F):
+        frame = s16[i * hop : i * hop + bin_] * w
+        cands = ref.pitch(frame, sr16, 0.2, 1.0, 1.0, 60.0, 500.0)
+        cand_n[i] = len(cands)
+        for j, (f, s) in enumerate(cands[:33]):
+            cand_f[i, j], cand_s[i, j] = f, s
+        print(f"16k pitch frame {i+1}/{F}", flush=True)
+    out["synth16k_pitch_freq"] = cand_f
+    out["synth16k_pitch_strength"] = cand_s
+    out["synth16k_pitch_count"] = cand_n
+
+    # MFCC: same framing, 13 coeffs, 100-6000 Hz
+    mf = []
+    for i in range(F):
+        frame = s16[i * hop : i * hop + bin_] * w
+        mf.append(ref.mfcc(frame, 13, (100.0, 6000.0), sr16))
+    out["synth16k_mfcc"] = np.asarray(mf)
+
     # --- down_sampled.wav: whole-file formants (order 13, lib.rs:13-42)
     wav2 = read_wav(os.path.join(FIX, "down_sampled.wav"))
     formants = [(f, 1.0) for f in ref.MALE_FORMANT_ESTIMATES]

@@ -19,11 +19,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# The suite is XLA-compile dominated (~40 jitted pipeline variants); cache
-# compilations across runs.
-_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu")
-try:
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:
-    pass
+# NO persistent compilation cache for the suite: XLA's CPU AOT
+# serialize/deserialize is unreliable on this class of host — observed (a)
+# intermittent segfaults inside executable.serialize() on multi-device
+# (shard_map) executables mid-suite, (b) a deserialize segfault on a cache
+# entry from a crashed run, and (c) cpu_aot_loader feature-mismatch warnings
+# ("could lead to SIGILL") even on self-written entries. Cold compiles are
+# deterministic; crashes are not.

@@ -1,8 +1,29 @@
-"""Pipeline + sharding tests (8 virtual CPU devices, see conftest)."""
+"""Pipeline + sharding tests (8 virtual CPU devices, see conftest).
 
+The multi-device (shard_map) tests run in ONE child pytest process (see
+test_sharded_group_in_subprocess): XLA's CPU backend segfaults
+nondeterministically when compiling multi-device executables late in a
+long-lived process (observed in backend_compile_and_load and in the
+persistent-cache serializer across four independent suite runs); a fresh
+process compiles the identical modules reliably. In the child they are
+selected via the VOXTPU_SHARDED_SUBTEST env var.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+_IN_SHARDED_CHILD = os.environ.get("VOXTPU_SHARDED_SUBTEST") == "1"
+sharded_subprocess = pytest.mark.skipif(
+    not _IN_SHARDED_CHILD,
+    reason="multi-device compile isolated in a child process "
+    "(test_sharded_group_in_subprocess)",
+)
 
 from voxtpu.pipeline import (
     AnalysisConfig,
@@ -54,9 +75,10 @@ def test_analyze_is_jittable_and_deterministic():
     assert abs(float(out1["f0"][0]) - 220.0) < 1.0
 
 
-def test_sharded_matches_single_device():
-    """Frames-axis sharding with halo must reproduce the serial trajectory
-    after the warmup region."""
+@sharded_subprocess
+def test_sharded_approx_matches_single_device():
+    """Frames-axis sharding with resonance halo (exact=False) must reproduce
+    the serial trajectory after the warmup region."""
     rng = np.random.default_rng(0)
     sr = 11025.0
     cfg = small_config(sr)
@@ -67,25 +89,137 @@ def test_sharded_matches_single_device():
     serial = analyze_frames(frames, cfg)
 
     mesh = make_mesh(1, 4)
-    overlap = 4
-    sharded = sharded_analyze(frames[None], cfg, mesh, overlap=overlap)
+    sharded = sharded_analyze(frames[None], cfg, mesh, overlap=4, exact=False)
 
     got = np.asarray(sharded["f0"])[0]
     np.testing.assert_allclose(got, np.asarray(serial["f0"]), rtol=1e-6)
 
     # Formants: exact agreement except possibly inside each shard's first
     # few frames (carry warmup); with overlap >= mixing time they match.
+    # (The halo now hands off *resonances*, so the warmup tracker step sees
+    # the neighbor's exact candidates, not recomputed ones.)
     got_ff = np.asarray(sharded["formant_freqs"])[0]
     exp_ff = np.asarray(serial["formant_freqs"])
     np.testing.assert_allclose(got_ff[4:], exp_ff[4:], rtol=1e-5)
 
 
+@sharded_subprocess
+def test_sharded_exact_formant_carry_real_speech():
+    """exact=True (default): sharded == serial on the real fixture with NO
+    frame exclusions — the cross-shard carry is the reference's strictly
+    sequential FormantExtractor semantics (spectrum.rs:336-369), VERDICT r1 #2.
+    The frame count (10) is not divisible by the 4 frame shards, so the
+    zero-frame padding path is exercised too."""
+    import os
+    from voxtpu.io_wav import read_wav
+
+    wav = read_wav(os.path.join(os.path.dirname(__file__), "fixtures", "short_sample.wav"))
+    cfg = small_config(float(wav.sample_rate))
+    frames = frame_signal(jnp.asarray(wav.samples), cfg.frame_len, cfg.hop)
+    assert frames.shape[0] % 4 != 0  # force padding
+
+    serial = analyze_frames(frames, cfg)
+    mesh = make_mesh(1, 4)
+    sharded = sharded_analyze(frames[None], cfg, mesh)
+
+    for k in ("formant_freqs", "formant_bws", "f0", "mfcc", "rms", "status"):
+        np.testing.assert_allclose(
+            np.asarray(sharded[k])[0], np.asarray(serial[k]),
+            rtol=1e-9, atol=0, err_msg=k,
+        )
+
+
+@sharded_subprocess
+def test_sharded_files_local_gt1_no_carry_leak():
+    """Two files per device on the files axis: each file's formant carry must
+    start from the seed, not from the previous file's final estimates
+    (ADVICE r1: the old flatten-then-scan leaked across file boundaries)."""
+    rng = np.random.default_rng(11)
+    sr = 11025.0
+    cfg = small_config(sr)
+    t = np.arange(8 * 256 + 512) / sr
+    sigs = np.stack([
+        np.sin(2 * np.pi * f * t) + 0.05 * rng.standard_normal(t.shape)
+        for f in (150.0, 210.0, 280.0, 350.0)
+    ])
+    frames = np.stack([
+        np.asarray(frame_signal(jnp.asarray(s), cfg.frame_len, cfg.hop))[:8]
+        for s in sigs
+    ])
+
+    # files mesh axis = 2 -> files_local = 2 per device row. The approximate
+    # mode uses 2 frame shards (F_local=4) so the halo isn't clamped below
+    # the tracker's mixing time; exact mode uses 4 to stress slicing.
+    for exact in (True, False):
+        mesh = make_mesh(2, 4 if exact else 2)
+        out = sharded_analyze(jnp.asarray(frames), cfg, mesh, exact=exact)
+        for i in range(4):
+            serial = analyze_frames(jnp.asarray(frames[i]), cfg)
+            sl = slice(None) if exact else slice(4, None)
+            np.testing.assert_allclose(
+                np.asarray(out["formant_freqs"])[i, sl],
+                np.asarray(serial["formant_freqs"])[sl],
+                rtol=1e-9 if exact else 1e-5,
+                err_msg=f"file {i} exact={exact}",
+            )
+
+
+@sharded_subprocess
+def test_sharded_viterbi_matches_serial():
+    """Viterbi pitch path over a sharded frame axis == the serial path (the
+    DP and the global intensity peak must span the whole recording)."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    sr = 11025.0
+    cfg = small_config(sr)
+    cfg = dataclasses.replace(cfg, pitch=dataclasses.replace(cfg.pitch, viterbi=True))
+    t = np.arange(11 * 256 + 512) / sr  # 12 frames: pads on 8 shards
+    x = np.sin(2 * np.pi * 180 * t)
+    x[len(x) // 2 :] = 0.001 * rng.standard_normal(len(x) - len(x) // 2)
+    frames = frame_signal(jnp.asarray(x), cfg.frame_len, cfg.hop)
+
+    serial = analyze_frames(frames, cfg)
+    mesh = make_mesh(1, 8)
+    sharded = sharded_analyze(frames[None], cfg, mesh)
+    for k in ("f0", "f0_strength", "hnr_db"):
+        np.testing.assert_allclose(
+            np.asarray(sharded[k])[0], np.asarray(serial[k]), rtol=1e-6,
+            err_msg=k,
+        )
+
+
+@sharded_subprocess
 def test_dryrun_multichip_8():
     dryrun_multichip(8)
 
 
+@sharded_subprocess
 def test_dryrun_multichip_1():
     dryrun_multichip(1)
+
+
+def test_sharded_group_in_subprocess():
+    """Run every @sharded_subprocess test in ONE fresh child pytest process
+    (see module docstring: XLA's CPU multi-device compile path segfaults
+    nondeterministically late in a long-lived process; fresh-process compiles
+    of the identical modules have never failed)."""
+    if _IN_SHARDED_CHILD:
+        pytest.skip("already in the sharded child")
+    env = dict(os.environ, VOXTPU_SHARDED_SUBTEST="1")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-x", "-n", "0",
+         os.path.abspath(__file__), "-k", "sharded or dryrun_multichip"],
+        env=env, capture_output=True, text=True, timeout=2400,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, (
+        f"sharded child failed rc={r.returncode}\n"
+        f"--- stdout ---\n{r.stdout[-4000:]}\n--- stderr ---\n{r.stderr[-2000:]}"
+    )
+    # the child must actually have RUN them, not collected nothing (this
+    # pytest config prints only the -q progress line, no summary text)
+    assert r.stdout.count(".") >= 6 and "F" not in r.stdout.split("[")[0], r.stdout[-1500:]
 
 
 def test_graft_entry():
@@ -157,6 +291,7 @@ def test_viterbi_pipeline_silence_aware():
     assert np.all(f0[-3:] == 0.0), f0  # silent half unvoiced
 
 
+@sharded_subprocess
 def test_sharded_2d_mesh_matches_serial():
     """files x frames mesh (2x2): per-file trajectories match serial."""
     rng = np.random.default_rng(3)
@@ -199,3 +334,31 @@ def test_analyze_long_exact_chunk_boundary():
         np.asarray(chunked["formant_freqs"]), np.asarray(one["formant_freqs"]),
         rtol=1e-9,
     )
+
+
+def test_analyze_long_viterbi_matches_one_shot():
+    """analyze_long with viterbi=True must match the one-shot path: the DP and
+    the global intensity peak span the whole recording, not each chunk
+    (ADVICE r1: these were silently chunk-local)."""
+    import dataclasses
+
+    rng = np.random.default_rng(21)
+    sr = 11025.0
+    cfg = small_config(sr)
+    cfg = dataclasses.replace(cfg, pitch=dataclasses.replace(cfg.pitch, viterbi=True))
+    t = np.arange(20 * 256 + 512) / sr
+    x = np.sin(2 * np.pi * 190 * t)
+    # quiet tail: the silence-aware unvoiced score depends on the *global*
+    # peak, which a chunk-local Viterbi would get wrong on the quiet chunks
+    x[len(x) // 2 :] *= 0.001
+    x = x + 0.0005 * rng.standard_normal(t.shape)
+
+    from voxtpu.pipeline import analyze_long
+
+    one = analyze(x, cfg)
+    chunked = analyze_long(x, cfg, chunk_frames=6)
+    for k in ("f0", "f0_strength", "hnr_db", "formant_freqs"):
+        np.testing.assert_allclose(
+            np.asarray(chunked[k]), np.asarray(one[k]), rtol=1e-9, atol=1e-9,
+            err_msg=k,
+        )
