@@ -47,8 +47,11 @@ def main():
     nx = bi - offset
     dt = jnp.float32
 
-    def s1(fr):  # AC + normalize + lag window + pad
-        sl = autocorrelate(fr, n)
+    def s1(fr):  # AC + normalize + lag window + pad (CT backend, as the
+        # full-pipeline shared-transform path uses on TPU)
+        from voxtpu.autocorr import power_and_autocorrelate
+
+        _, sl = power_and_autocorrelate(fr, n)
         sl = sl / jnp.max(jnp.abs(sl), axis=-1, keepdims=True)
         sl = sl / jnp.asarray(hanning_lag(n), dtype=fr.dtype)
         return jnp.concatenate([sl, jnp.zeros_like(sl)], axis=-1)
@@ -65,11 +68,21 @@ def main():
         cand = is_max & ((freq == 0.0) | ((freq > fmin) & (freq < fmax)))
         return sl, freq, cand
 
-    def s3(fr):  # + top_k compaction
+    def s3(fr):  # + windowed rank-compaction (the production path, pitch.py)
         sl, freq, cand = s2(fr)
-        keys = jnp.where(cand, -jnp.arange(1, bi - 1, dtype=fr.dtype)[None, :], -jnp.inf)
-        _v, order = jax.lax.top_k(keys, C)
-        cand_c = jnp.take_along_axis(cand, order, axis=-1)
+        ix = jnp.arange(1, bi - 1, dtype=jnp.int32)
+        lag_lo = max(int(math.floor(sr / fmax)) - 64, 1)
+        lag_hi = min(int(math.ceil(sr / fmin)) + 64, bi - 2)
+        w0, w1 = lag_lo - 1, lag_hi
+        candw = cand[:, w0:w1]
+        rank = jnp.cumsum(candw.astype(jnp.int32), axis=-1)
+        colw = jnp.arange(w0, w1, dtype=jnp.int32)[None, :]
+        sel = candw & (rank <= C)
+        order = jnp.stack(
+            [jnp.sum(jnp.where(sel & (rank == c + 1), colw, 0), axis=-1)
+             for c in range(C)], axis=-1)
+        nvalid = jnp.minimum(rank[:, -1], C)
+        cand_c = jnp.arange(C, dtype=jnp.int32)[None, :] < nvalid[:, None]
         freq_c = jnp.take_along_axis(freq, order, axis=-1)
         return sl, freq_c, cand_c
 
@@ -92,6 +105,15 @@ def main():
                                     max_base=mb + 1)
         return x, fx
 
+    def s6(fr):  # + fused strength+refine (ONE kernel pass — production path)
+        sl, freq_c, cand_c = s3(fr)
+        pos = jnp.where(cand_c, sr / freq_c - offset, float(bi))
+        x, fx, strn = brent_refine_pallas(
+            sl, pos, cand_c, offset, 1200, t1200 - 1, max_base=mb + 1,
+            strength_depth=30,
+        )
+        return x, fx, strn
+
     def scalar(fn):
         def g(fr):
             out = fn(fr)
@@ -99,8 +121,9 @@ def main():
             return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
         return g
 
-    for name, fn in [("s1 ac", s1), ("s2 maxima", s2), ("s3 topk", s3),
-                     ("s4 strength", s4), ("s5 refine", s5)]:
+    for name, fn in [("s1 ac", s1), ("s2 maxima", s2), ("s3 compact", s3),
+                     ("s4 strength", s4), ("s5 refine", s5),
+                     ("s6 fused s+r", s6)]:
         t = timeit(jax.jit(scalar(fn)), frames)
         print(f"{name:12s}: {t*1e3:8.2f} ms", flush=True)
 

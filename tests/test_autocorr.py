@@ -91,6 +91,22 @@ def test_power_and_ac_ct_matches_fft():
         )
 
 
+def test_ct_tables_no_tracer_leak_across_jits():
+    """Regression: the CT table caches must hold host (NumPy) constants. When
+    the first CT call happened INSIDE a jit trace, a jnp-array cache captured
+    tracers and every later differently-shaped jit died with
+    UnexpectedTracerError (found via scripts/perf_pitch_stages.py)."""
+    import jax
+
+    from voxtpu.autocorr import power_and_autocorrelate
+
+    rng = np.random.default_rng(2)
+    for n in (1024, 2048):  # (nfft, n) keys unused by other tests
+        f = jax.jit(lambda x: power_and_autocorrelate(x, backend="ct")[1])
+        out = f(jnp.asarray(rng.standard_normal((2, n))))  # first use: traced
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_power_and_ac_ct_odd_length():
     """Non-power-of-two frame: nfft = next_pow2(2n) > 2n; the CT half-power
     even-bin identity needs nfft == 2n, so only ac is comparable here."""

@@ -23,34 +23,68 @@ from voxtpu.pipeline import (
 FIX = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
-def test_f32_matches_f64_within_budget():
-    wav = read_wav(os.path.join(FIX, "short_sample.wav"))
-    sr = float(wav.sample_rate)
+def _budget_case(samples, sr, frame_len, hop, n_coeffs, fmax, budgets):
+    """Assert the f32 path stays within the PARITY.md budget vs f64."""
     cfg = AnalysisConfig(
-        sr, 512, 256,
-        PitchConfig(fmin=60.0, fmax=500.0, max_candidates=16),
-        FormantConfig(n_coeffs=10),
-        MfccConfig(num_coeffs=13, freq_hi=5000.0),
+        sr, frame_len, hop,
+        PitchConfig(fmin=60.0, fmax=fmax, max_candidates=16),
+        FormantConfig(n_coeffs=n_coeffs),
+        MfccConfig(num_coeffs=13, freq_hi=min(5000.0, sr / 2 - 500)),
     )
-    f64 = analyze_frames(frame_signal(jnp.asarray(wav.samples), 512, 256), cfg)
+    f64 = analyze_frames(
+        frame_signal(jnp.asarray(samples, jnp.float64), frame_len, hop), cfg
+    )
     f32 = analyze_frames(
-        frame_signal(jnp.asarray(wav.samples, dtype=jnp.float32), 512, 256), cfg
+        frame_signal(jnp.asarray(samples, jnp.float32), frame_len, hop), cfg
     )
-
-    # f0: < 0.5 Hz absolute on voiced speech (~100 Hz here)
+    voiced = np.asarray(f64["f0"]) > 0
     np.testing.assert_allclose(
-        np.asarray(f32["f0"]), np.asarray(f64["f0"]), atol=0.5
+        np.asarray(f32["f0"])[voiced], np.asarray(f64["f0"])[voiced],
+        atol=budgets["f0"],
     )
-    # formants: < 15 Hz absolute (roots of an order-10 polynomial in f32)
     np.testing.assert_allclose(
-        np.asarray(f32["formant_freqs"]), np.asarray(f64["formant_freqs"]), atol=15.0
+        np.asarray(f32["f0_strength"]), np.asarray(f64["f0_strength"]),
+        atol=budgets["strength"],
     )
-    # MFCC: < 2e-2 absolute
     np.testing.assert_allclose(
-        np.asarray(f32["mfcc"]), np.asarray(f64["mfcc"]), atol=2e-2
+        np.asarray(f32["formant_freqs"]), np.asarray(f64["formant_freqs"]),
+        atol=budgets["formants"],
     )
-    # RMS: tight
+    np.testing.assert_allclose(
+        np.asarray(f32["mfcc"]), np.asarray(f64["mfcc"]), atol=budgets["mfcc"]
+    )
     np.testing.assert_allclose(
         np.asarray(f32["rms"]), np.asarray(f64["rms"]), rtol=1e-5
     )
     assert np.all(np.asarray(f32["status"]) == 0)
+
+
+def test_f32_budget_short_sample():
+    """The PARITY.md fast-mode budget table on real 11 kHz speech (measured
+    worst case: f0 0.09 Hz, formants 0.04 Hz; asserted with 2-3x headroom)."""
+    wav = read_wav(os.path.join(FIX, "short_sample.wav"))
+    _budget_case(
+        wav.samples, float(wav.sample_rate), 512, 256, 10, 500.0,
+        {"f0": 0.3, "strength": 8e-3, "formants": 1.0, "mfcc": 1e-4},
+    )
+
+
+def test_f32_budget_synth_16k():
+    """Budget at 16 kHz (measured worst: f0 0.31 Hz, formants 0.67 Hz,
+    bws 1.7 Hz)."""
+    wav = read_wav(os.path.join(FIX, "synth_16k.wav"))
+    _budget_case(
+        wav.samples, 16000.0, 512, 256, 12, 500.0,
+        {"f0": 0.7, "strength": 1e-2, "formants": 2.5, "mfcc": 1e-4},
+    )
+
+
+def test_f32_budget_bench_config():
+    """Budget at the bench configuration: 44.1 kHz, frame 4096, Burg order 13
+    (measured worst: f0 0.29 Hz, formants 2.6 Hz — the order-13 Laguerre
+    roots are the least f32-stable feature)."""
+    wav = read_wav(os.path.join(FIX, "sample-two_vowels.wav"))
+    _budget_case(
+        wav.samples, float(wav.sample_rate), 4096, 1024, 13, 600.0,
+        {"f0": 0.7, "strength": 1.5e-2, "formants": 8.0, "mfcc": 1e-4},
+    )

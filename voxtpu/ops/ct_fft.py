@@ -53,8 +53,15 @@ def ct_supported(nfft: int) -> bool:
     return nfft % N2 == 0 and (nfft // N2) % 2 == 0
 
 
+# Host-side (NumPy) table caches. The cached values MUST be NumPy, never
+# jnp arrays: jnp.asarray inside a jit trace yields a tracer, and an
+# lru_cache populated during one trace would leak that tracer into every
+# later trace (UnexpectedTracerError on the second differently-shaped jit).
+# jnp.asarray at the use site embeds them as constants per trace, free.
+
+
 @functools.lru_cache(maxsize=8)
-def _fwd_tables(nfft: int, n: int, dtype_name: str):
+def _fwd_tables_np(nfft: int, n: int):
     N1 = nfft // N2
     rows = -(-n // N2)
     n1 = np.arange(rows)
@@ -64,16 +71,12 @@ def _fwd_tables(nfft: int, n: int, dtype_name: str):
     k2 = np.arange(N2)
     w2 = -2.0 * np.pi * np.outer(n2, k2) / N2
     tw = -2.0 * np.pi * np.outer(n2, k1) / nfft  # (n2, k1) layout
-    dt = jnp.dtype(dtype_name)
-    return tuple(
-        jnp.asarray(m, dt)
-        for m in (np.cos(w1), np.sin(w1), np.cos(w2), np.sin(w2),
-                  np.cos(tw), np.sin(tw))
-    )
+    return (np.cos(w1), np.sin(w1), np.cos(w2), np.sin(w2),
+            np.cos(tw), np.sin(tw))
 
 
 @functools.lru_cache(maxsize=8)
-def _inv_tables(nfft: int, n_lags: int, dtype_name: str):
+def _inv_tables_np(nfft: int, n_lags: int):
     N1 = nfft // N2
     L2 = -(-n_lags // N2)
     k1 = np.arange(N1)
@@ -86,8 +89,17 @@ def _inv_tables(nfft: int, n_lags: int, dtype_name: str):
     sb = np.sin(2 * np.pi * np.outer(k1, l1) / nfft)
     cc = np.cos(2 * np.pi * np.outer(k1, l2) / N1)
     sc = np.sin(2 * np.pi * np.outer(k1, l2) / N1)
+    return (ca, sa, cb, sb, cc, sc)
+
+
+def _fwd_tables(nfft: int, n: int, dtype_name: str):
     dt = jnp.dtype(dtype_name)
-    return tuple(jnp.asarray(m, dt) for m in (ca, sa, cb, sb, cc, sc))
+    return tuple(jnp.asarray(m, dt) for m in _fwd_tables_np(nfft, n))
+
+
+def _inv_tables(nfft: int, n_lags: int, dtype_name: str):
+    dt = jnp.dtype(dtype_name)
+    return tuple(jnp.asarray(m, dt) for m in _inv_tables_np(nfft, n_lags))
 
 
 _DN = (((1,), (0,)), ((), ()))
