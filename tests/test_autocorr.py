@@ -91,6 +91,15 @@ def test_power_and_ac_ct_matches_fft():
         )
 
 
+def test_autocorrelate_ct_matches_fft():
+    rng = np.random.default_rng(21)
+    for n in (128, 512):
+        x = jnp.asarray(rng.standard_normal((3, n)))
+        a1 = autocorrelate(x, backend="fft")
+        a2 = autocorrelate(x, backend="ct")
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-9, atol=1e-9)
+
+
 def test_ct_tables_no_tracer_leak_across_jits():
     """Regression: the CT table caches must hold host (NumPy) constants. When
     the first CT call happened INSIDE a jit trace, a jnp-array cache captured

@@ -39,6 +39,7 @@ from voxtpu.pipeline import (
     analyze,
     analyze_frames,
     analyze_long,
+    analyze_stream,
 )
 
 __version__ = "0.1.0"
@@ -101,4 +102,5 @@ __all__ = [
     "analyze",
     "analyze_frames",
     "analyze_long",
+    "analyze_stream",
 ]

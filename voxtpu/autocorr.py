@@ -86,7 +86,10 @@ def power_and_autocorrelate(
     return half, ac
 
 
-def autocorrelate(x: jax.Array, n_coeffs: int | None = None, quirk: bool = True) -> jax.Array:
+def autocorrelate(
+    x: jax.Array, n_coeffs: int | None = None, quirk: bool = True,
+    backend: str | None = None,
+) -> jax.Array:
     """Autocorrelation along the last axis.
 
     Args:
@@ -95,6 +98,8 @@ def autocorrelate(x: jax.Array, n_coeffs: int | None = None, quirk: bool = True)
         reference where longer requests would underflow (periodic.rs:281).
       quirk: reproduce the reference seed-term quirk exactly (default). With
         False, returns the textbook linear autocorrelation.
+      backend: "fft" (XLA, CPU default) / "ct" (MXU matmul decomposition, TPU
+        default where the shape supports it) / None = auto.
 
     Returns:
       (..., n_coeffs) autocorrelation coefficients.
@@ -107,10 +112,29 @@ def autocorrelate(x: jax.Array, n_coeffs: int | None = None, quirk: bool = True)
         raise ValueError(f"n_coeffs ({n_coeffs}) must be <= frame length ({n})")
 
     nfft = _next_pow2(2 * n)
-    spec = jnp.fft.rfft(x, n=nfft, axis=-1)
-    power = spec * jnp.conj(spec)
-    ac = jnp.fft.irfft(power, n=nfft, axis=-1)[..., :n_coeffs]
-    ac = ac.astype(x.dtype)
+
+    from voxtpu.ops.ct_fft import ct_supported
+
+    if backend is None:
+        from voxtpu.backend import default_backend
+
+        backend = "ct" if default_backend() == "pallas" and ct_supported(nfft) else "fft"
+    elif backend == "ct" and not ct_supported(nfft):
+        backend = "fft"
+
+    if backend == "ct":
+        from voxtpu.ops.ct_fft import ct_autocorr, ct_power
+
+        shape = x.shape
+        xb = x.reshape(-1, n)
+        ac = ct_autocorr(ct_power(xb, nfft), n_coeffs).reshape(
+            shape[:-1] + (n_coeffs,)
+        )
+    else:
+        spec = jnp.fft.rfft(x, n=nfft, axis=-1)
+        power = spec * jnp.conj(spec)
+        ac = jnp.fft.irfft(power, n=nfft, axis=-1)[..., :n_coeffs]
+        ac = ac.astype(x.dtype)
 
     if quirk:
         x0 = x[..., :1]

@@ -111,6 +111,35 @@ def _viterbi_post(out, frames, fmax):
     return out
 
 
+def write_features(path: str, out: dict) -> None:
+    """Write a feature dict to .npz or .parquet (by extension).
+
+    Parquet layout: one row per frame; (F,) features as plain columns, (F, L)
+    features as fixed-size list columns — directly loadable by pandas /
+    DuckDB / Spark for corpus-scale analysis (SURVEY §5 metrics export).
+    """
+    if path.endswith(".parquet"):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cols = {}
+        for k, v in out.items():
+            v = np.asarray(v)
+            if v.dtype == bool:
+                v = v.astype(np.uint8)
+            if v.ndim == 1:
+                cols[k] = pa.array(v)
+            elif v.ndim == 2:
+                cols[k] = pa.FixedSizeListArray.from_arrays(
+                    pa.array(v.reshape(-1)), v.shape[1]
+                )
+            else:  # pragma: no cover - no 3-D features today
+                cols[k] = pa.array([row.tolist() for row in v])
+        pq.write_table(pa.table(cols), path)
+    else:
+        np.savez(path, **out)
+
+
 def cmd_analyze(args) -> int:
     import jax.numpy as jnp
 
@@ -136,7 +165,7 @@ def cmd_analyze(args) -> int:
         _plot(out, config.hop, sr, args.plot)
         print(f"wrote {args.plot}", file=sys.stderr)
     if args.output:
-        np.savez(args.output, **out)
+        write_features(args.output, out)
         print(f"wrote {args.output} ({out['rms'].shape[0]} frames)", file=sys.stderr)
     elif not args.plot:
         _print_columns(out, config.hop, sr)
@@ -213,8 +242,9 @@ def cmd_corpus(args) -> int:
             json.dump(manifest, f, indent=2)
 
     def save(path, out, sr, mesh_desc):
-        name = os.path.splitext(os.path.basename(path))[0] + ".npz"
-        np.savez(os.path.join(args.output_dir, name), **out)
+        ext = ".parquet" if args.format == "parquet" else ".npz"
+        name = os.path.splitext(os.path.basename(path))[0] + ext
+        write_features(os.path.join(args.output_dir, name), out)
         manifest[path] = {
             "output": name,
             "frames": int(out["rms"].shape[0]),
@@ -328,6 +358,9 @@ def main(argv=None) -> int:
     sc = sub.add_parser("corpus", help="analyze many WAV files")
     sc.add_argument("files", nargs="+", help="paths or globs")
     sc.add_argument("--output-dir", "-o", default="voxtpu_features")
+    sc.add_argument("--format", choices=("npz", "parquet"), default="npz",
+                    help="feature file format (parquet: one row per frame, "
+                         "(F,L) features as fixed-size list columns)")
     sc.add_argument("--no-resume", action="store_true", help="reprocess everything")
     sc.add_argument("--sharded", action="store_true",
                     help="shard each file's frames over all devices")

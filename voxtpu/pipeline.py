@@ -289,3 +289,53 @@ def analyze_long(samples, config: AnalysisConfig, chunk_frames: int = 4096) -> d
         full.update(f0_outputs(f0, s0))
 
     return full
+
+
+def analyze_stream(blocks, config: AnalysisConfig, chunk_frames: int = 512):
+    """Streaming analysis: a generator over an iterable of sample blocks.
+
+    Accepts arbitrarily-sized 1-D sample blocks (a microphone callback, a
+    pipe, a file reader) and yields per-chunk feature dicts of up to
+    ``chunk_frames`` frames each, as soon as enough audio has arrived. Memory
+    is bounded: one chunk of frames plus a ``frame_len - hop`` sample tail.
+    The McCandless formant carry is threaded exactly across yields, so the
+    concatenation of all yielded chunks equals the one-shot `analyze` of the
+    concatenated input (the serving analogue of `analyze_long`).
+
+    ``config.pitch.viterbi`` is rejected: the path search needs the whole
+    recording (run `pitch_path` over the collected candidates afterwards, as
+    `analyze_long` does, if you need it on a stream).
+    """
+    if config.pitch.enabled and config.pitch.viterbi:
+        raise ValueError(
+            "analyze_stream cannot run Viterbi (whole-recording DP); collect "
+            "pitch candidates and run voxtpu.viterbi.pitch_path at end of "
+            "stream instead"
+        )
+    hop, n = config.hop, config.frame_len
+    chunk_samples = (chunk_frames - 1) * hop + n
+    est = None
+    buf = None
+    done = False
+    it = iter(blocks)
+    while True:
+        while not done and (buf is None or len(buf) < chunk_samples):
+            try:
+                blk = np.asarray(next(it)).ravel()
+            except StopIteration:
+                done = True
+                break
+            buf = blk if buf is None else np.concatenate([buf, blk])
+        nf = 0 if buf is None else min(num_frames(len(buf), n, hop), chunk_frames)
+        if nf == 0:
+            if done:
+                return
+            continue  # empty blocks; keep pulling
+        frames = frame_signal(jnp.asarray(buf[: (nf - 1) * hop + n]), n, hop)
+        if nf < chunk_frames:
+            frames = jnp.pad(frames, [(0, chunk_frames - nf), (0, 0)])
+        out = analyze_frames(frames, config, formant_estimates=est)
+        if config.formant.enabled:
+            est = (out["formant_freqs"][nf - 1], out["formant_bws"][nf - 1])
+        buf = buf[nf * hop :]  # keep the (frame_len - hop) overlap tail
+        yield {k: v[:nf] for k, v in out.items()}
