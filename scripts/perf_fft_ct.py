@@ -57,7 +57,7 @@ def ct_tables(N1, N2, dtype):
     )
 
 
-def make_ct_power(N1, N2, dtype, zero_pad_from=None, precision=None):
+def make_ct_power(N1, N2, dtype, zero_pad_from=None, precision=None, accum=None):
     """Returns fn: (B, n) real frames -> (B, N1, N2) power, permuted order
     k = k2*N1 + k1. zero_pad_from: actual frame length (n <= N1*N2); the
     trailing zeros are *not* materialized — stage 1 contracts only the first
@@ -80,7 +80,8 @@ def make_ct_power(N1, N2, dtype, zero_pad_from=None, precision=None):
         xm = x.reshape(B, rows, N2)
         dn = (((1,), (0,)), ((), ()))
         dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
-                                precision=precision)
+                                precision=precision,
+                                preferred_element_type=accum)
         # stage 1: DFT over n1; result layout (B, n2, k1) — no transposes.
         ar = dot(xm, c1)
         ai = dot(xm, s1)
@@ -206,9 +207,23 @@ def main():
     print(f"ct bf16 AC chain max abs err: "
           f"{np.abs(a_bf - a_ref).max() / np.abs(a_ref).max():.2e}", flush=True)
 
+    # bf16 data with f32 accumulation: tables+inputs bf16, dot accumulates
+    # f32 via preferred_element_type (the lossy-mode candidate)
+    ct64_bfacc = make_ct_power(64, 128, jnp.bfloat16, zero_pad_from=n,
+                               accum=jnp.float32)
+    inv64_f32 = make_ct_inverse(64, 128, n, jnp.float32)
+
+    def ct_ac_bfacc(x):
+        p = ct64_bfacc(x.astype(jnp.bfloat16))  # f32 accumulators throughout
+        return inv64_f32(p)
+
+    a_bfacc = np.asarray(jax.jit(ct_ac_bfacc)(frames[:4]))
+    print(f"ct bf16-in/f32-acc AC chain max abs err: "
+          f"{np.abs(a_bfacc - a_ref).max() / np.abs(a_ref).max():.2e}", flush=True)
+
     # precision variants: DEFAULT = 1-pass bf16 matmul (the 1.75e-3 error
     # above), HIGH = 3-pass, HIGHEST = 6-pass (~true f32)
-    extra = []
+    extra = [("ct AC bf16/f32acc", ct_ac_bfacc)]
     for pname, prec in [("HIGH", jax.lax.Precision.HIGH),
                         ("HIGHEST", jax.lax.Precision.HIGHEST)]:
         fwd_p = make_ct_power(64, 128, jnp.float32, zero_pad_from=n, precision=prec)

@@ -64,3 +64,26 @@ def test_stream_rejects_viterbi():
     cfg = _cfg(11025.0, viterbi=True)
     with pytest.raises(ValueError, match="Viterbi"):
         next(analyze_stream([np.zeros(4096)], cfg))
+
+
+def test_stream_finalize_viterbi_matches_one_shot():
+    """Stream with viterbi=False, then finalize_viterbi == one-shot
+    analyze(viterbi=True): the DP and the global intensity peak span the
+    whole stream."""
+    from voxtpu.pipeline import finalize_viterbi
+
+    rng = np.random.default_rng(9)
+    sr = 11025.0
+    t = np.arange(14 * 256 + 512) / sr
+    x = np.sin(2 * np.pi * 210 * t)
+    x[len(x) // 2 :] *= 0.001  # quiet tail exercises the silence-aware score
+    x = x + 0.0005 * rng.standard_normal(t.shape)
+
+    one = analyze(x, _cfg(sr, viterbi=True))
+    chunks = list(analyze_stream([x[:3000], x[3000:]], _cfg(sr), chunk_frames=5))
+    full = finalize_viterbi(chunks, _cfg(sr))
+    for k in ("f0", "f0_strength", "hnr_db"):
+        np.testing.assert_allclose(
+            np.asarray(full[k]), np.asarray(one[k]), rtol=1e-9, atol=1e-12,
+            err_msg=k,
+        )

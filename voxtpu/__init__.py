@@ -40,6 +40,7 @@ from voxtpu.pipeline import (
     analyze_frames,
     analyze_long,
     analyze_stream,
+    finalize_viterbi,
 )
 
 __version__ = "0.1.0"
@@ -103,4 +104,5 @@ __all__ = [
     "analyze_frames",
     "analyze_long",
     "analyze_stream",
+    "finalize_viterbi",
 ]

@@ -331,7 +331,26 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def _setup_compile_cache():
+    """Persist TPU compiles across CLI invocations (remote-AOT compiles of a
+    fresh config take minutes through the axon tunnel). TPU-class backends
+    only — the CPU backend's executable serializer is unreliable (see
+    tests/conftest.py)."""
+    import jax
+
+    try:
+        if jax.default_backend() != "cpu":
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
+    _setup_compile_cache()
     p = argparse.ArgumentParser(prog="voxtpu", description="TPU-native speech analysis")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -308,9 +308,9 @@ def analyze_stream(blocks, config: AnalysisConfig, chunk_frames: int = 512):
     """
     if config.pitch.enabled and config.pitch.viterbi:
         raise ValueError(
-            "analyze_stream cannot run Viterbi (whole-recording DP); collect "
-            "pitch candidates and run voxtpu.viterbi.pitch_path at end of "
-            "stream instead"
+            "analyze_stream cannot run Viterbi (whole-recording DP); stream "
+            "with viterbi=False and call finalize_viterbi(chunks, config) on "
+            "the collected chunks at end of stream"
         )
     hop, n = config.hop, config.frame_len
     chunk_samples = (chunk_frames - 1) * hop + n
@@ -338,4 +338,29 @@ def analyze_stream(blocks, config: AnalysisConfig, chunk_frames: int = 512):
         if config.formant.enabled:
             est = (out["formant_freqs"][nf - 1], out["formant_bws"][nf - 1])
         buf = buf[nf * hop :]  # keep the (frame_len - hop) overlap tail
-        yield {k: v[:nf] for k, v in out.items()}
+        chunk = {k: v[:nf] for k, v in out.items()}
+        # per-frame intensity summary so finalize_viterbi can reconstruct the
+        # whole-recording silence-aware path after the stream ends
+        chunk["local_peak"] = jnp.max(jnp.abs(frames[:nf]), axis=-1)
+        yield chunk
+
+
+def finalize_viterbi(chunks, config: AnalysisConfig) -> dict:
+    """End-of-stream Viterbi: concatenate `analyze_stream` chunks and run the
+    whole-recording path search (DP + global intensity peak), yielding the
+    same f0/f0_strength/hnr_db as one-shot `analyze` with viterbi=True."""
+    from voxtpu.viterbi import PathConfig, pitch_path
+
+    chunks = list(chunks)
+    full = {k: jnp.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+    local_peak = full.pop("local_peak")
+    intensity = local_peak / jnp.maximum(jnp.max(local_peak), 1e-30)
+    f0, s0 = pitch_path(
+        full["pitch_candidates_freq"],
+        full["pitch_candidates_strength"],
+        full["pitch_candidates_valid"],
+        PathConfig(ceiling=config.pitch.fmax),
+        local_intensity=intensity,
+    )
+    full.update(f0_outputs(f0, s0))
+    return full
