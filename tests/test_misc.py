@@ -184,3 +184,29 @@ def test_profiler_trace_smoke(tmp_path):
     # trace directory should contain a profile dump
     dumped = list((tmp_path / "trace").rglob("*"))
     assert dumped, "no profiler output written"
+
+
+def test_frame_signal_slice_form_bit_exact():
+    """frame_signal builds frames from strided slices (gcd-row decomposition
+    — TPU gathers serialize on the scalar unit); every gcd case must be
+    bit-exact vs direct indexing, including the gather fallback."""
+    import jax.numpy as jnp
+
+    from voxtpu.frame import frame_signal
+
+    rng = np.random.default_rng(0)
+    cases = [
+        (512, 256, 5000),   # gcd 256, 2 parts
+        (4096, 1024, 50000),  # gcd 1024, 4 parts (the bench shape)
+        (500, 160, 9000),   # gcd 20, 25 parts
+        (512, 511, 4000),   # gcd 1 -> 512 parts -> gather fallback
+        (1024, 512, 1536),  # single frame
+        (513, 128, 6000),   # odd frame length, gcd 1 fallback
+    ]
+    for n, hop, length in cases:
+        x = rng.standard_normal(length)
+        f = np.asarray(frame_signal(jnp.asarray(x), n, hop))
+        F = (length - n) // hop + 1
+        exp = np.stack([x[i * hop : i * hop + n] for i in range(F)])
+        assert f.shape == exp.shape, (n, hop, f.shape)
+        np.testing.assert_array_equal(f, exp, err_msg=f"{n},{hop}")

@@ -219,24 +219,80 @@ def analyze(samples, config: AnalysisConfig) -> dict:
     return analyze_frames(frames, config)
 
 
+def _long_chunk_body(samples, start_frame, est, config: AnalysisConfig, chunk_frames: int):
+    """One analyze_long chunk: dynamic-slice the chunk's samples, frame,
+    analyze with the carried formant estimates, extract the next carry and
+    per-frame peaks."""
+    n, hop = config.frame_len, config.hop
+    seg = jax.lax.dynamic_slice(
+        samples, (start_frame * hop,), ((chunk_frames - 1) * hop + n,)
+    )
+    frames = frame_signal(seg, n, hop)
+    out = analyze_frames(frames, config, formant_estimates=est)
+    if config.formant.enabled:
+        est = (out["formant_freqs"][-1], out["formant_bws"][-1])
+    peak = jnp.max(jnp.abs(frames), axis=-1)
+    return out, est, peak
+
+
+_long_chunk = partial(jax.jit, static_argnames=("config", "chunk_frames"))(
+    _long_chunk_body
+)
+
+
+@partial(jax.jit, static_argnames=("config", "chunk_frames", "F"))
+def _long_scan(samples, est0, config: AnalysisConfig, chunk_frames: int, F: int):
+    """The whole chunked analysis as ONE compiled program: lax.scan threads
+    the formant carry across chunks on-device, and the zero-pad (an exact
+    tracker no-op) and final trim to F frames happen in-graph — an hour of
+    audio costs one dispatch + one fetch instead of nchunks dispatches plus
+    per-feature merges (every extra remote dispatch costs ~0.3 s through the
+    axon tunnel; a local PJRT runtime pays micro-seconds, but one fused
+    program is the right shape either way). Specialized on the recording's
+    frame count; the persistent compile cache amortizes repeats."""
+    n, hop = config.frame_len, config.hop
+    nchunks = -(-F // chunk_frames)
+    need = (nchunks * chunk_frames - 1) * hop + n
+    if samples.shape[-1] < need:
+        samples = jnp.pad(samples, (0, need - samples.shape[-1]))
+
+    def step(est, ci):
+        out, est, peak = _long_chunk_body(
+            samples, ci * chunk_frames, est, config, chunk_frames
+        )
+        return est, (out, peak)
+
+    _, (outs, peaks) = jax.lax.scan(
+        step, est0, jnp.arange(nchunks, dtype=jnp.int32)
+    )
+    full = {
+        k: v.reshape((nchunks * chunk_frames,) + v.shape[2:])[:F]
+        for k, v in outs.items()
+    }
+    return full, peaks.reshape(-1)[:F]
+
+
 def analyze_long(samples, config: AnalysisConfig, chunk_frames: int = 4096) -> dict:
     """Chunked analysis for arbitrarily long recordings, bit-identical to a
     one-shot `analyze`.
 
-    Frames are processed `chunk_frames` at a time (one compiled executable,
-    reused across chunks). Cross-chunk state is handled exactly:
+    The whole recording runs as ONE compiled `lax.scan` over chunks
+    (`_long_scan`): frames are processed `chunk_frames` at a time and
+    cross-chunk state is handled exactly:
 
-    - the McCandless formant-estimate carry is handed from each chunk's last
-      frame into the next chunk's starting estimates, so the tracked
-      trajectory is exactly the serial one;
+    - the McCandless formant-estimate carry threads from each chunk's last
+      frame into the next chunk's starting estimates on-device, so the
+      tracked trajectory is exactly the serial one;
     - with ``config.pitch.viterbi`` the path search (and its whole-recording
       intensity peak) cannot be chunk-local — per-chunk candidates and frame
-      peaks are collected and the Viterbi DP runs once over the concatenated
+      peaks are scanned out and the Viterbi DP runs once over the full
       arrays at the end, matching the one-shot path exactly.
 
-    Per-chunk device compute is O(chunk_frames * frame_len); the collected
+    Per-chunk device compute is O(chunk_frames * frame_len); the scanned-out
     per-frame *features* (a few hundred floats per frame, frame_len-free)
-    grow O(total_frames) until the final concatenation.
+    occupy O(total_frames). The executable specializes on the recording's
+    frame count (the persistent compile cache amortizes repeats); for
+    bounded-memory incremental consumption use `analyze_stream`.
     """
     samples = jnp.asarray(samples)
     F = num_frames(samples.shape[-1], config.frame_len, config.hop)
@@ -252,32 +308,15 @@ def analyze_long(samples, config: AnalysisConfig, chunk_frames: int = 4096) -> d
             config, pitch=dataclasses.replace(config.pitch, viterbi=False)
         )
 
-    hop, n = config.hop, config.frame_len
-    est = None
-    chunks = []
-    peaks = []
-    for i0 in range(0, F, chunk_frames):
-        i1 = min(i0 + chunk_frames, F)
-        seg = samples[i0 * hop : (i1 - 1) * hop + n]
-        frames = frame_signal(seg, n, hop)
-        nf = frames.shape[0]
-        if nf < chunk_frames:
-            # pad to the compiled shape; padded outputs are trimmed below and
-            # zero frames are a formant-tracker no-op, so the carry is exact.
-            frames = jnp.pad(frames, [(0, chunk_frames - nf), (0, 0)])
-        out = analyze_frames(frames, inner, formant_estimates=est)
-        if config.formant.enabled:
-            est = (out["formant_freqs"][nf - 1], out["formant_bws"][nf - 1])
-        if do_viterbi:
-            peaks.append(jnp.max(jnp.abs(frames), axis=-1)[:nf])
-        chunks.append({k: v[:nf] for k, v in out.items()})
+    est_f = jnp.asarray(config.formant.estimates, dtype=samples.dtype)
+    est = (est_f, jnp.full_like(est_f, config.formant.estimate_bandwidth))
 
-    full = {k: jnp.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+    full, peaks_flat = _long_scan(samples, est, inner, chunk_frames, F)
 
     if do_viterbi:
         from voxtpu.viterbi import PathConfig, pitch_path
 
-        local_peak = jnp.concatenate(peaks)
+        local_peak = peaks_flat
         intensity = local_peak / jnp.maximum(jnp.max(local_peak), 1e-30)
         f0, s0 = pitch_path(
             full["pitch_candidates_freq"],
