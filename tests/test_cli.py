@@ -3,6 +3,8 @@
 import json
 import os
 
+import pytest
+
 import numpy as np
 
 from voxtpu.cli import main
@@ -123,3 +125,17 @@ def test_analyze_unreadable_file(tmp_path, capsys):
     rc = main(["analyze", str(bad), "--f64"])
     assert rc == 1
     assert "cannot read" in capsys.readouterr().err
+
+
+def test_corpus_resume_respects_format(tmp_path):
+    """Rerunning with a different --format must NOT resume-skip: the npz from
+    run 1 doesn't satisfy a parquet request (code-review r2 finding #1)."""
+    pytest.importorskip("pyarrow")
+    outdir = tmp_path / "both"
+    assert main(["corpus", WAV, "-o", str(outdir), "--f64"]) == 0
+    assert (outdir / "short_sample.npz").exists()
+    assert main(["corpus", WAV, "-o", str(outdir), "--f64",
+                 "--format", "parquet"]) == 0
+    assert (outdir / "short_sample.parquet").exists()
+    manifest = json.loads((outdir / "manifest.json").read_text())
+    assert manifest[WAV]["output"].endswith(".parquet")

@@ -210,3 +210,22 @@ def test_frame_signal_slice_form_bit_exact():
         exp = np.stack([x[i * hop : i * hop + n] for i in range(F)])
         assert f.shape == exp.shape, (n, hop, f.shape)
         np.testing.assert_array_equal(f, exp, err_msg=f"{n},{hop}")
+
+
+def test_frame_signal_batched_input():
+    """(..., n) batched signals frame per batch row in both the slice path
+    and the gather fallback."""
+    import jax.numpy as jnp
+
+    from voxtpu.frame import frame_signal
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 3, 5000))
+    for n, hop in [(512, 256), (512, 511)]:  # slice path / gather fallback
+        f = np.asarray(frame_signal(jnp.asarray(x), n, hop))
+        F = (5000 - n) // hop + 1
+        assert f.shape == (2, 3, F, n), (n, hop, f.shape)
+        for b in range(2):
+            for c in range(3):
+                exp = np.stack([x[b, c, i * hop : i * hop + n] for i in range(F)])
+                np.testing.assert_array_equal(f[b, c], exp, err_msg=f"{n},{hop}")

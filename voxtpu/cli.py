@@ -53,6 +53,15 @@ def _build_config(args, sample_rate: float):
     )
 
 
+def _read_rate(path: str) -> float:
+    """Sample rate from the WAV header only (no sample data read) — the
+    corpus pass-1 grouping must stay O(1) memory per file."""
+    import wave
+
+    with wave.open(str(path), "rb") as w:
+        return float(w.getframerate())
+
+
 def _read(path: str, dtype):
     from voxtpu import native
 
@@ -124,6 +133,8 @@ def write_features(path: str, out: dict) -> None:
 
         cols = {}
         for k, v in out.items():
+            if k.startswith("_"):  # internal side-channels (e.g. stream peaks)
+                continue
             v = np.asarray(v)
             if v.dtype == bool:
                 v = v.astype(np.uint8)
@@ -137,7 +148,7 @@ def write_features(path: str, out: dict) -> None:
                 cols[k] = pa.array([row.tolist() for row in v])
         pq.write_table(pa.table(cols), path)
     else:
-        np.savez(path, **out)
+        np.savez(path, **{k: v for k, v in out.items() if not k.startswith("_")})
 
 
 def cmd_analyze(args) -> int:
@@ -256,31 +267,47 @@ def cmd_corpus(args) -> int:
         print(f"{path}: {manifest[path]['frames']} frames", file=sys.stderr)
         flush_manifest()
 
-    # Pass 1: read + frame everything not resumable, grouped by config (same
-    # config = same compiled executable = batchable into one block).
+    want_ext = ".parquet" if args.format == "parquet" else ".npz"
+
+    # Pass 1: group paths by config WITHOUT reading sample data — only the
+    # WAV header (sample rate) is touched, so corpus-scale runs stay O(1) in
+    # host memory until a block is actually processed.
     pending: dict = {}
     for path in paths:
         prev = manifest.get(path)
         if (
             prev
             and prev.get("mtime") == os.path.getmtime(path)
+            and prev.get("output", "").endswith(want_ext)
             and os.path.exists(os.path.join(args.output_dir, prev.get("output", "")))
         ):
             print(f"{path}: resume skip", file=sys.stderr)
             continue
         try:
-            samples, sr = _read(path, dtype)
+            sr = _read_rate(path)
         except Exception as e:
             print(f"{path}: read error, skipping ({type(e).__name__}: {e})", file=sys.stderr)
             manifest[path] = {"error": f"{type(e).__name__}: {e}"}
             continue
         config, _ = _build_config(args, sr)
-        frames = np.asarray(frame_signal(jnp.asarray(samples), config.frame_len, config.hop))
-        pending.setdefault(config, []).append((path, sr, frames))
+        pending.setdefault(config, []).append((path, sr))
+
+    def read_frames(path, config):
+        samples, _sr = _read(path, dtype)
+        return np.asarray(
+            frame_signal(jnp.asarray(samples), config.frame_len, config.hop)
+        )
 
     for config, recs in pending.items():
         if n_dev == 1:
-            for path, sr, frames in recs:
+            for path, sr in recs:
+                try:
+                    frames = read_frames(path, config)
+                except Exception as e:
+                    print(f"{path}: read error, skipping ({type(e).__name__}: {e})",
+                          file=sys.stderr)
+                    manifest[path] = {"error": f"{type(e).__name__}: {e}"}
+                    continue
                 out = analyze_frames(jnp.asarray(frames), config)
                 if args.viterbi and config.pitch.enabled:
                     out = _viterbi_post(out, frames, config.pitch.fmax)
@@ -300,7 +327,16 @@ def cmd_corpus(args) -> int:
             file=sys.stderr,
         )
         for b0 in range(0, len(recs), files_axis):
-            block = recs[b0 : b0 + files_axis]
+            block = []  # read one block's audio at a time (bounded memory)
+            for path, sr in recs[b0 : b0 + files_axis]:
+                try:
+                    block.append((path, sr, read_frames(path, config)))
+                except Exception as e:
+                    print(f"{path}: read error, skipping ({type(e).__name__}: {e})",
+                          file=sys.stderr)
+                    manifest[path] = {"error": f"{type(e).__name__}: {e}"}
+            if not block:
+                continue
             Fmax = max(r[2].shape[0] for r in block)
             # Zero-pad each file to the block's frame count (an exact no-op
             # for the formant carry; padded outputs are trimmed per file) and

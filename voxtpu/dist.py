@@ -101,8 +101,10 @@ def sharded_analyze(
     """Analyze (files, F, n) frames sharded over the mesh.
 
     files axis -> "files" (DP); frame axis -> "frames" (sequence sharding).
-    The sequential stages (formant carry, Viterbi pitch path) follow the
-    `exact` flag — see the module docstring. `overlap` only matters with
+    The formant carry follows the `exact` flag — see the module docstring;
+    the Viterbi pitch path (when enabled) ALWAYS runs exactly over the
+    gathered per-frame candidate summaries, since its DP and global
+    intensity peak span the whole recording. `overlap` only matters with
     exact=False.
     """
     frames = jnp.asarray(frames)

@@ -58,12 +58,12 @@ def frame_signal(
     if parts <= 64:
         s = hop // g  # row stride between consecutive frames
         need_rows = (f - 1) * s + parts
-        rows = jax.lax.slice(x, (0,), (need_rows * g,)).reshape(need_rows, g)
+        rows = x[..., : need_rows * g].reshape(x.shape[:-1] + (need_rows, g))
         cols = [
-            jax.lax.slice(rows, (j, 0), (j + (f - 1) * s + 1, g), (s, 1))
+            jax.lax.slice_in_dim(rows, j, j + (f - 1) * s + 1, stride=s, axis=-2)
             for j in range(parts)
         ]
-        frames = jnp.concatenate(cols, axis=1)
+        frames = jnp.concatenate(cols, axis=-1)
     else:
         # pathological hop/frame ratios (tiny gcd): fall back to the gather
         starts = jnp.arange(f) * hop

@@ -147,6 +147,15 @@ int voxtpu_wav_read(const char* path, uint32_t chan, int f64, void* out,
   else
     decode_samples(buf.data() + off, n, info.bits, info.channels, chan,
                    (float*)out);
+  if (n < capacity) {
+    // File shrank between voxtpu_wav_info and here: zero the tail so the
+    // caller's buffer holds no uninitialized memory, and report it.
+    if (f64)
+      memset((double*)out + n, 0, (capacity - n) * sizeof(double));
+    else
+      memset((float*)out + n, 0, (capacity - n) * sizeof(float));
+    return 6;
+  }
   return 0;
 }
 

@@ -235,11 +235,6 @@ def _long_chunk_body(samples, start_frame, est, config: AnalysisConfig, chunk_fr
     return out, est, peak
 
 
-_long_chunk = partial(jax.jit, static_argnames=("config", "chunk_frames"))(
-    _long_chunk_body
-)
-
-
 @partial(jax.jit, static_argnames=("config", "chunk_frames", "F"))
 def _long_scan(samples, est0, config: AnalysisConfig, chunk_frames: int, F: int):
     """The whole chunked analysis as ONE compiled program: lax.scan threads
@@ -339,7 +334,10 @@ def analyze_stream(blocks, config: AnalysisConfig, chunk_frames: int = 512):
     is bounded: one chunk of frames plus a ``frame_len - hop`` sample tail.
     The McCandless formant carry is threaded exactly across yields, so the
     concatenation of all yielded chunks equals the one-shot `analyze` of the
-    concatenated input (the serving analogue of `analyze_long`).
+    concatenated input (the serving analogue of `analyze_long`), plus one
+    internal ``_stream_local_peak`` key per chunk consumed by
+    `finalize_viterbi` (underscore keys are not features; `write_features`
+    skips them).
 
     ``config.pitch.viterbi`` is rejected: the path search needs the whole
     recording (run `pitch_path` over the collected candidates afterwards, as
@@ -378,9 +376,11 @@ def analyze_stream(blocks, config: AnalysisConfig, chunk_frames: int = 512):
             est = (out["formant_freqs"][nf - 1], out["formant_bws"][nf - 1])
         buf = buf[nf * hop :]  # keep the (frame_len - hop) overlap tail
         chunk = {k: v[:nf] for k, v in out.items()}
-        # per-frame intensity summary so finalize_viterbi can reconstruct the
-        # whole-recording silence-aware path after the stream ends
-        chunk["local_peak"] = jnp.max(jnp.abs(frames[:nf]), axis=-1)
+        # Per-frame intensity summary so finalize_viterbi can reconstruct the
+        # whole-recording silence-aware path after the stream ends. The
+        # underscore marks it internal: write_features skips it, and
+        # finalize_viterbi pops it.
+        chunk["_stream_local_peak"] = jnp.max(jnp.abs(frames[:nf]), axis=-1)
         yield chunk
 
 
@@ -392,7 +392,7 @@ def finalize_viterbi(chunks, config: AnalysisConfig) -> dict:
 
     chunks = list(chunks)
     full = {k: jnp.concatenate([c[k] for c in chunks]) for k in chunks[0]}
-    local_peak = full.pop("local_peak")
+    local_peak = full.pop("_stream_local_peak")
     intensity = local_peak / jnp.maximum(jnp.max(local_peak), 1e-30)
     f0, s0 = pitch_path(
         full["pitch_candidates_freq"],
