@@ -112,6 +112,56 @@ def test_corpus_sharded_viterbi(tmp_path):
         )
 
 
+def test_analyze_resample_hz_pins_f0(tmp_path):
+    """--resample-hz contract (VERDICT r2 #2): the signal is resampled once
+    and ALL features run at the analysis rate — f0 of a known sine must come
+    out at the sine's frequency, not scaled by the rate ratio."""
+    wav = tmp_path / "sine.wav"
+    _write_sine_wav(wav, 150.0, sr=44100, seconds=0.5)
+    out = tmp_path / "f.npz"
+    # --viterbi: take-best on a *pure* sine picks the sub-octave (the lag
+    # window boosts the 2-period lag, and the reference sorts by raw strength,
+    # periodic.rs:453); the path search's octave cost resolves it to 150 Hz.
+    rc = main(["analyze", str(wav), "-o", str(out), "--f64", "--viterbi",
+               "--resample-hz", "11025", "--fmin", "60", "--fmax", "400"])
+    assert rc == 0
+    z = np.load(out)
+    # Frame count at the analysis rate: 11025*0.5 samples, 50 ms/10 ms frames.
+    n = int(11025 * 0.5)
+    frame_len = int(np.ceil(11025 * 0.05))
+    hop = int(np.ceil(11025 * 0.01))
+    assert z["f0"].shape[0] == (n - frame_len) // hop + 1
+    voiced = z["f0"][z["f0"] > 0]
+    assert len(voiced) >= z["f0"].shape[0] - 2
+    # +-2.5 Hz: short frames (~7.5 periods per 50 ms) carry a ~1 Hz estimator
+    # bias; the bug under test was a rate-ratio (4x) scale error.
+    np.testing.assert_allclose(voiced, 150.0, atol=2.5)
+    assert np.all(np.isfinite(z["mfcc"]))
+
+
+def test_corpus_same_stem_no_overwrite(tmp_path):
+    """Two inputs with the same basename in different directories must get
+    distinct feature files (ADVICE r2: silent overwrite + aliased manifest)."""
+    d1, d2 = tmp_path / "spk1", tmp_path / "spk2"
+    d1.mkdir(), d2.mkdir()
+    _write_sine_wav(d1 / "take.wav", 150.0, seconds=0.4)
+    _write_sine_wav(d2 / "take.wav", 190.0, seconds=0.4)
+    outdir = tmp_path / "features"
+    # --fmin 100 keeps each sine's sub-octave (75/95 Hz) out of band: take-best
+    # on a pure sine otherwise prefers it (the lag-window division boosts long
+    # lags past the octave cost; see test_analyze_resample_hz_pins_f0).
+    rc = main(["corpus", str(d1 / "take.wav"), str(d2 / "take.wav"),
+               "-o", str(outdir), "--f64", "--fmin", "100"])
+    assert rc == 0
+    manifest = json.loads((outdir / "manifest.json").read_text())
+    out1 = manifest[str(d1 / "take.wav")]["output"]
+    out2 = manifest[str(d2 / "take.wav")]["output"]
+    assert out1 != out2
+    z1, z2 = np.load(outdir / out1), np.load(outdir / out2)
+    assert abs(np.median(z1["f0"]) - 150.0) < 3.0
+    assert abs(np.median(z2["f0"]) - 190.0) < 3.0
+
+
 def test_analyze_plot(tmp_path):
     p = tmp_path / "plot.png"
     rc = main(["analyze", WAV, "--fmax", "500", "--f64", "--plot", str(p)])

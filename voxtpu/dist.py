@@ -54,7 +54,13 @@ from voxtpu.pipeline import (
     f0_outputs,
 )
 
-__all__ = ["init_distributed", "make_mesh", "sharded_analyze", "dryrun_multichip"]
+__all__ = [
+    "init_distributed",
+    "make_mesh",
+    "sharded_analyze",
+    "dryrun_multichip",
+    "launch_multiprocess_dryrun",
+]
 
 
 def init_distributed(coordinator_address: str | None = None, num_processes: int | None = None,
@@ -214,6 +220,106 @@ def sharded_analyze(
     return out
 
 
+def dryrun_case(files: int, F: int, frame_len: int = 128, hop: int = 64,
+                sr: float = 8000.0):
+    """The tiny deterministic fixture shared by every multichip dryrun
+    (single-process and multi-process workers must analyze identical data so
+    the cross-process shard check has a meaning). Returns (frames, config)."""
+    rng = np.random.default_rng(0)
+    t = np.arange(frame_len) / sr
+    base = np.sin(2 * np.pi * 220.0 * t)
+    frames = (
+        base[None, None, :]
+        + 0.1 * rng.standard_normal((files, F, frame_len))
+    ).astype(np.float32)
+    config = AnalysisConfig(
+        sample_rate=sr,
+        frame_len=frame_len,
+        hop=hop,
+        pitch=PitchConfig(fmin=150.0, fmax=400.0, max_candidates=8, viterbi=True),
+        formant=FormantConfig(n_coeffs=8),
+        mfcc=MfccConfig(num_coeffs=8, freq_hi=3500.0),
+    )
+    return frames, config
+
+
+def launch_multiprocess_dryrun(
+    n_devices: int = 8, n_processes: int = 2, timeout: float = 900.0
+) -> None:
+    """Run a REAL multi-process `jax.distributed` cluster (SURVEY C29).
+
+    Spawns `n_processes` fresh worker interpreters, each with
+    `n_devices // n_processes` virtual CPU devices, coordinated through a
+    localhost `jax.distributed.initialize` cluster (the DCN analogue: CPU
+    collectives ride gloo between the processes). Each worker builds the mesh
+    over ALL global devices — the "files" axis spans the process boundary
+    exactly as hosts span DCN in the deployment design (module docstring) —
+    runs `sharded_analyze` on the shared dryrun fixture, and asserts its own
+    addressable output shards match a locally-computed serial reference.
+
+    This is pure subprocess orchestration: the calling process's jax backend
+    (TPU or CPU, already initialized or not) is never touched.
+    """
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    if n_devices % n_processes:
+        raise ValueError(f"{n_devices} devices not divisible by {n_processes} processes")
+    local_devices = n_devices // n_processes
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coordinator = f"127.0.0.1:{port}"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    flags = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f
+    ]
+    flags.append(f"--xla_force_host_platform_device_count={local_devices}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "voxtpu._dist_worker",
+                "--process-id", str(i),
+                "--num-processes", str(n_processes),
+                "--coordinator", coordinator,
+                "--local-devices", str(local_devices),
+            ],
+            cwd=repo, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(n_processes)
+    ]
+    outputs, rcs = [], []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+            out += "\n[launcher] TIMEOUT"
+        outputs.append(out)
+        rcs.append(p.returncode)
+    for i, out in enumerate(outputs):
+        sys.stdout.write(out)
+    sys.stdout.flush()
+    ok_lines = sum("multiprocess dryrun ok" in out for out in outputs)
+    if any(rc != 0 for rc in rcs) or ok_lines != n_processes:
+        raise RuntimeError(
+            f"multiprocess dryrun failed: rcs={rcs}, ok_lines={ok_lines}/"
+            f"{n_processes}\n" + "\n".join(o[-2000:] for o in outputs)
+        )
+
+
 def dryrun_multichip(n_devices: int) -> None:
     """Compile + run one sharded analysis step on an n-device mesh.
 
@@ -248,28 +354,10 @@ def dryrun_multichip(n_devices: int) -> None:
     frames_axis = n_devices // files_axis
     mesh = make_mesh(files_axis, frames_axis, devices)
 
-    frame_len, hop = 128, 64
-    sr = 8000.0
     per_shard = 4
     F = frames_axis * per_shard
     files = 2 * files_axis  # 2 files per device row: per-file carry isolation
-
-    rng = np.random.default_rng(0)
-    t = np.arange(frame_len) / sr
-    base = np.sin(2 * np.pi * 220.0 * t)
-    frames = (
-        base[None, None, :]
-        + 0.1 * rng.standard_normal((files, F, frame_len))
-    ).astype(np.float32)
-
-    config = AnalysisConfig(
-        sample_rate=sr,
-        frame_len=frame_len,
-        hop=hop,
-        pitch=PitchConfig(fmin=150.0, fmax=400.0, max_candidates=8, viterbi=True),
-        formant=FormantConfig(n_coeffs=8),
-        mfcc=MfccConfig(num_coeffs=8, freq_hi=3500.0),
-    )
+    frames, config = dryrun_case(files, F)
 
     out = sharded_analyze(jnp.asarray(frames), config, mesh, exact=True)
     out = jax.tree.map(lambda x: np.asarray(x), out)
