@@ -561,3 +561,118 @@ def mfcc(x: np.ndarray, num_coeffs: int, freq_bounds: tuple, sample_rate: float)
         e = math.log10(up_sum + down_sum) if (up_sum + down_sum) > 0 else -math.inf
         energies.append(max(e, 1.0e-10))
     return dct(np.asarray(energies))
+
+
+# --- Boersma 1993 §4: pitch path finder ---------------------------------------
+# The reference STUBS this (periodic.rs:320-354 returns candidates[frame][0]);
+# voxtpu implements the real path search (voxtpu/viterbi.py). This oracle is an
+# independent scalar transcription of the PAPER's cost definitions — Boersma
+# (1993), "Accurate short-term analysis of the fundamental frequency ...",
+# IFA Proceedings 17 — so the JAX implementation is pinned to the publication,
+# not to itself (VERDICT r2 #5):
+#
+#   eq. 23 (unvoiced candidate local strength, silence-aware):
+#       R = VoicingThreshold
+#           + max(0, 2 - (localPeak/globalPeak) /
+#                        (SilenceThreshold / (1 + VoicingThreshold)))
+#   eq. 24 (voiced candidate local strength, high-frequency preference):
+#       R = r - OctaveCost * log2(PitchCeiling / F)
+#   §4 transition costs between consecutive frames:
+#       unvoiced -> unvoiced : 0
+#       voiced  <-> unvoiced : VoicedUnvoicedCost
+#       voiced   -> voiced   : OctaveJumpCost * |log2(F1 / F2)|
+#
+# The path maximizes sum(local strengths) - sum(transition costs). Standard
+# values from the paper: SilenceThreshold 0.03, VoicingThreshold 0.45,
+# OctaveCost 0.01, OctaveJumpCost 0.35, VoicedUnvoicedCost 0.14.
+
+
+def boersma_local_strength(
+    freq: float,
+    strength: float,
+    intensity: float | None,
+    silence_threshold: float = 0.03,
+    voicing_threshold: float = 0.45,
+    octave_cost: float = 0.01,
+    ceiling: float = 600.0,
+) -> float:
+    """Per-candidate local strength: eq. 24 (voiced) / eq. 23 (unvoiced).
+    `intensity` is localPeak/globalPeak; None falls back to the raw strength
+    (no silence information — matches voxtpu's local_intensity=None mode)."""
+    if freq > 0.0:
+        return strength - octave_cost * math.log2(ceiling / freq)
+    if intensity is None:
+        return strength
+    return voicing_threshold + max(
+        0.0, 2.0 - intensity / (silence_threshold / (1.0 + voicing_threshold))
+    )
+
+
+def boersma_transition_cost(
+    f_prev: float,
+    f_cur: float,
+    octave_jump_cost: float = 0.35,
+    voiced_unvoiced_cost: float = 0.14,
+) -> float:
+    vp, vc = f_prev > 0.0, f_cur > 0.0
+    if vp and vc:
+        return octave_jump_cost * abs(math.log2(f_prev / f_cur))
+    if vp != vc:
+        return voiced_unvoiced_cost
+    return 0.0
+
+
+def boersma_pitch_path(
+    freq: np.ndarray,
+    strength: np.ndarray,
+    valid: np.ndarray,
+    intensity: np.ndarray | None = None,
+    silence_threshold: float = 0.03,
+    voicing_threshold: float = 0.45,
+    octave_cost: float = 0.01,
+    octave_jump_cost: float = 0.35,
+    voiced_unvoiced_cost: float = 0.14,
+    ceiling: float = 600.0,
+) -> list:
+    """Scalar Viterbi over (F, C) candidates: returns the frame-wise candidate
+    indices of the maximum-score path. Plain nested loops + backtracking —
+    deliberately nothing like the lax.scan formulation under test. Ties break
+    toward the lowest candidate index (first maximum)."""
+    F, C = freq.shape
+    NEG = -math.inf
+
+    def local(t, c):
+        if not valid[t, c]:
+            return NEG
+        inten = None if intensity is None else float(intensity[t])
+        return boersma_local_strength(
+            float(freq[t, c]), float(strength[t, c]), inten,
+            silence_threshold, voicing_threshold, octave_cost, ceiling,
+        )
+
+    score = [[NEG] * C for _ in range(F)]
+    back = [[0] * C for _ in range(F)]
+    for c in range(C):
+        score[0][c] = local(0, c)
+    for t in range(1, F):
+        for c in range(C):
+            loc = local(t, c)
+            best_prev, best_val = 0, NEG
+            for p in range(C):
+                v = score[t - 1][p] - boersma_transition_cost(
+                    float(freq[t - 1, p]), float(freq[t, c]),
+                    octave_jump_cost, voiced_unvoiced_cost,
+                )
+                if v > best_val:
+                    best_prev, best_val = p, v
+            score[t][c] = loc + best_val
+            back[t][c] = best_prev
+    last, last_val = 0, NEG
+    for c in range(C):
+        if score[F - 1][c] > last_val:
+            last, last_val = c, score[F - 1][c]
+    path = [0] * F
+    path[F - 1] = last
+    for t in range(F - 1, 0, -1):
+        path[t - 1] = back[t][path[t]]
+    return path
