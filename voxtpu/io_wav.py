@@ -6,13 +6,20 @@ The reference reads WAVs via `hound` and normalizes integer samples as
 examples/formant_extraction/src/main.rs:43, overflow-shifts into a negative
 divisor and is a reference bug; we implement the tests' `>>` convention.)
 
+The parser is a self-contained RIFF walker rather than stdlib `wave`, because
+real-world corpora contain formats `wave` mishandles or rejects:
+WAVE_FORMAT_EXTENSIBLE (0xFFFE) with wValidBitsPerSample < container width
+(e.g. 24-in-32 — decoding at the container scale is silently wrong by 256x)
+and WAVE_FORMAT_IEEE_FLOAT (3). Both are supported here and in the native C++
+reader (voxtpu/native/wavio.cpp), with equivalence tests (tests/test_native.py).
+
 A C++ fast loader (voxtpu/native) accelerates corpus-scale ingest; this module
-is the always-available pure-Python path using the stdlib `wave` parser.
+is the always-available pure-Python path.
 """
 
 from __future__ import annotations
 
-import wave
+import struct
 from dataclasses import dataclass
 
 import numpy as np
@@ -21,48 +28,110 @@ __all__ = ["WavData", "read_wav"]
 
 I32_MAX = 2**31 - 1
 
+# KSDATAFORMAT_SUBTYPE_* GUID bytes 2..15 (bytes 0-1 hold the format code).
+_SUBFORMAT_GUID_TAIL = bytes(
+    [0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+     0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+)
+
 
 @dataclass
 class WavData:
-    samples: np.ndarray  # (n,) or (n, channels) float64 in [-1, 1]
+    samples: np.ndarray  # (n,) or (n, channels) float in [-1, 1]
     sample_rate: int
-    bits_per_sample: int
+    bits_per_sample: int  # significant (valid) bits for PCM; container for float
 
     @property
     def duration(self) -> float:
         return self.samples.shape[0] / self.sample_rate
 
 
+def _parse_riff(raw: bytes):
+    """Walk the RIFF chunks: returns (format, channels, sample_rate,
+    container_bits, valid_bits, data bytes). format is resolved to 1 (integer
+    PCM) or 3 (IEEE float); WAVE_FORMAT_EXTENSIBLE is resolved through its
+    SubFormat GUID + wValidBitsPerSample."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(raw):
+        ck_id = raw[pos : pos + 4]
+        (ck_len,) = struct.unpack_from("<I", raw, pos + 4)
+        body = pos + 8
+        if ck_id == b"fmt " and body + 16 <= len(raw):
+            code, channels, sr, _byte_rate, _block, container = struct.unpack_from(
+                "<HHIIHH", raw, body
+            )
+            valid = container
+            if code == 0xFFFE:
+                if ck_len < 40 or body + 40 > len(raw):
+                    raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+                (vb,) = struct.unpack_from("<H", raw, body + 18)
+                if vb:
+                    valid = vb
+                if raw[body + 26 : body + 40] != _SUBFORMAT_GUID_TAIL:
+                    raise ValueError("unknown WAVE_FORMAT_EXTENSIBLE SubFormat GUID")
+                (code,) = struct.unpack_from("<H", raw, body + 24)
+            if code not in (1, 3):
+                raise ValueError(f"unsupported WAV format code: {code}")
+            fmt = (code, channels, sr, container, valid)
+        elif ck_id == b"data":
+            data = raw[body : body + ck_len]
+        pos = body + ck_len + (ck_len & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return fmt + (data,)
+
+
 def read_wav(path: str, dtype=np.float64) -> WavData:
-    """Read a PCM WAV file, normalized like the reference test driver."""
-    with wave.open(str(path), "rb") as w:
-        n = w.getnframes()
-        sw = w.getsampwidth()
-        ch = w.getnchannels()
-        sr = w.getframerate()
-        raw = w.readframes(n)
+    """Read a PCM / IEEE-float / extensible WAV, normalized like the
+    reference test driver (valid-bits-aware for extensible files)."""
+    with open(str(path), "rb") as f:
+        raw = f.read()
+    code, ch, sr, container, valid, payload = _parse_riff(raw)
 
-    bits = sw * 8
-    if sw == 2:
-        data = np.frombuffer(raw, dtype="<i2").astype(np.int64)
-    elif sw == 4:
-        data = np.frombuffer(raw, dtype="<i4").astype(np.int64)
-    elif sw == 1:
-        # 8-bit WAV is unsigned; recenter.
-        data = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
-    elif sw == 3:
-        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
-        data = (
-            b[:, 0].astype(np.int64)
-            | (b[:, 1].astype(np.int64) << 8)
-            | (b[:, 2].astype(np.int64) << 16)
-        )
-        data = np.where(data >= 1 << 23, data - (1 << 24), data)
+    if code == 3:  # IEEE float: already normalized
+        if container == 32:
+            data = np.frombuffer(payload, dtype="<f4")
+        elif container == 64:
+            data = np.frombuffer(payload, dtype="<f8")
+        else:
+            raise ValueError(f"unsupported float WAV width: {container}")
+        n = len(data) // ch * ch
+        samples = data[:n].astype(dtype)
+        bits = container
     else:
-        raise ValueError(f"unsupported sample width: {sw}")
+        sw = container // 8
+        if sw == 2:
+            data = np.frombuffer(payload, dtype="<i2").astype(np.int64)
+        elif sw == 4:
+            data = np.frombuffer(payload, dtype="<i4").astype(np.int64)
+        elif sw == 1:
+            # 8-bit WAV is unsigned; recenter.
+            data = np.frombuffer(payload, dtype=np.uint8).astype(np.int64) - 128
+        elif sw == 3:
+            b = np.frombuffer(payload[: len(payload) // 3 * 3], dtype=np.uint8)
+            b = b.reshape(-1, 3)
+            data = (
+                b[:, 0].astype(np.int64)
+                | (b[:, 1].astype(np.int64) << 8)
+                | (b[:, 2].astype(np.int64) << 16)
+            )
+            data = np.where(data >= 1 << 23, data - (1 << 24), data)
+        else:
+            raise ValueError(f"unsupported sample width: {sw}")
+        if not (1 <= valid <= container):
+            raise ValueError(f"invalid wValidBitsPerSample: {valid}/{container}")
+        # Extensible data is left-justified: drop the low padding bits, then
+        # normalize at the VALID width (tests/lib.rs:17-19 convention).
+        data = data >> (container - valid)
+        scale = I32_MAX >> (32 - valid)
+        n = len(data) // ch * ch
+        samples = (data[:n] / scale).astype(dtype)
+        bits = valid
 
-    scale = I32_MAX >> (32 - bits)
-    samples = (data / scale).astype(dtype)
     if ch > 1:
         samples = samples.reshape(-1, ch)
     return WavData(samples=samples, sample_rate=sr, bits_per_sample=bits)
