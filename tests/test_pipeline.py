@@ -204,22 +204,68 @@ def test_sharded_group_in_subprocess():
     (see module docstring: XLA's CPU multi-device compile path segfaults
     nondeterministically late in a long-lived process; fresh-process compiles
     of the identical modules have never failed)."""
+    import tempfile
+    import xml.etree.ElementTree as ET
+
     if _IN_SHARDED_CHILD:
         pytest.skip("already in the sharded child")
     env = dict(os.environ, VOXTPU_SHARDED_SUBTEST="1")
-    r = subprocess.run(
-        [sys.executable, "-m", "pytest", "-q", "-x", "-n", "0",
-         os.path.abspath(__file__), "-k", "sharded or dryrun_multichip"],
-        env=env, capture_output=True, text=True, timeout=2400,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    )
-    assert r.returncode == 0, (
-        f"sharded child failed rc={r.returncode}\n"
-        f"--- stdout ---\n{r.stdout[-4000:]}\n--- stderr ---\n{r.stderr[-2000:]}"
-    )
-    # the child must actually have RUN them, not collected nothing (this
-    # pytest config prints only the -q progress line, no summary text)
-    assert r.stdout.count(".") >= 6 and "F" not in r.stdout.split("[")[0], r.stdout[-1500:]
+    with tempfile.TemporaryDirectory() as td:
+        junit = os.path.join(td, "sharded.xml")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x", "-n", "0",
+             f"--junitxml={junit}",
+             os.path.abspath(__file__), "-k", "sharded or dryrun_multichip"],
+            env=env, capture_output=True, text=True, timeout=2400,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0, (
+            f"sharded child failed rc={r.returncode}\n"
+            f"--- stdout ---\n{r.stdout[-4000:]}\n--- stderr ---\n{r.stderr[-2000:]}"
+        )
+        # Machine-readable gate (VERDICT r2 #8): the child must actually have
+        # RUN the group — a silently-empty collection or a skip-everything run
+        # must fail here, which stdout dot-counting could not guarantee.
+        suite = ET.parse(junit).getroot().find("testsuite")
+        ran = int(suite.get("tests", 0)) - int(suite.get("skipped", 0))
+        assert int(suite.get("failures", 0)) == 0, r.stdout[-2000:]
+        assert int(suite.get("errors", 0)) == 0, r.stdout[-2000:]
+        assert ran >= 7, (
+            f"sharded child ran only {ran} tests "
+            f"(collected {suite.get('tests')}, skipped {suite.get('skipped')})"
+        )
+
+
+def test_track_per_file_single_trace_16_files():
+    """The exact-mode sharded tracker must be ONE trace regardless of
+    files-per-batch (VERDICT r2 #7 — the old Python loop traced one scan per
+    file index), matching per-file serial scans at exact equality."""
+    from voxtpu.dist import _track_per_file
+    from voxtpu.formants import formant_tracker
+
+    rng = np.random.default_rng(23)
+    files, F, R = 16, 9, 32
+    rf = np.sort(rng.uniform(100, 4000, (files, F, R)), axis=-1)
+    rb = rng.uniform(10, 300, (files, F, R))
+    mask = rng.random((files, F, R)) < 0.4
+    rf[mask] = 0.0
+    rb[mask] = 0.0
+    est_f = jnp.asarray([320.0, 1440.0, 2760.0, 3200.0])
+    est_b = jnp.ones(4)
+
+    jaxpr = jax.make_jaxpr(
+        lambda f, b: _track_per_file(f, b, est_f, est_b)
+    )(jnp.asarray(rf), jnp.asarray(rb))
+    scans = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "scan"]
+    assert len(scans) == 1, f"{len(scans)} scan traces for 16 files"
+
+    bf, bb = _track_per_file(jnp.asarray(rf), jnp.asarray(rb), est_f, est_b)
+    for i in range(files):
+        sf, sb = formant_tracker(
+            jnp.asarray(rf[i]), jnp.asarray(rb[i]), est_f, est_b, backend="jnp"
+        )
+        np.testing.assert_array_equal(np.asarray(bf)[i], np.asarray(sf))
+        np.testing.assert_array_equal(np.asarray(bb)[i], np.asarray(sb))
 
 
 def test_multiprocess_cluster():

@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from voxtpu.formants import formant_tracker
+from voxtpu.formants import formant_tracker_batched
 from voxtpu.pipeline import (
     AnalysisConfig,
     FormantConfig,
@@ -92,9 +92,9 @@ def make_mesh(n_files_axis: int, n_frames_axis: int, devices=None) -> Mesh:
 
 def _track_per_file(rf, rb, est_f, est_b):
     """McCandless tracker over (files, F, R) resonances, one independent
-    carry per file (the reference's estimates buffer is per recording)."""
-    outs = [formant_tracker(rf[i], rb[i], est_f, est_b) for i in range(rf.shape[0])]
-    return jnp.stack([o[0] for o in outs]), jnp.stack([o[1] for o in outs])
+    carry per file (the reference's estimates buffer is per recording).
+    Single-trace regardless of files-per-batch (VERDICT r2 #7)."""
+    return formant_tracker_batched(rf, rb, est_f, est_b)
 
 
 def sharded_analyze(

@@ -220,6 +220,39 @@ def formant_tracker(
     return freqs, bws
 
 
+def formant_tracker_batched(
+    res_freq: jax.Array,
+    res_bw: jax.Array,
+    est_freq: jax.Array,
+    est_bw: jax.Array,
+    backend: str | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Track a batch of files in ONE trace: res_* (files, F, R) -> (files, F, L).
+
+    Each file's carry starts from the seed estimates (per-recording state,
+    spectrum.rs:336-341). The jnp backend vmaps the scan over the files axis;
+    the pallas backend folds files into the frame axis and resets the carry at
+    file boundaries inside the kernel — either way, compile size is constant
+    in files-per-batch (VERDICT r2 #7: the old per-file Python loop traced
+    the scan once per file index).
+    """
+    backend = backend or default_backend()
+    if backend in ("pallas", "pallas_interpret"):
+        from voxtpu.ops.formant_scan_pallas import mccandless_scan_pallas
+
+        files, F, R = res_freq.shape
+        f, b = mccandless_scan_pallas(
+            res_freq.reshape(files * F, R), res_bw.reshape(files * F, R),
+            est_freq, est_bw,
+            interpret=backend == "pallas_interpret", file_len=F,
+        )
+        L = f.shape[-1]
+        return f.reshape(files, F, L), b.reshape(files, F, L)
+    return jax.vmap(
+        lambda f, b: formant_tracker(f, b, est_freq, est_bw, backend="jnp")
+    )(res_freq, res_bw)
+
+
 def resample_linear(x: jax.Array, ratio: float, out_len: int) -> jax.Array:
     """Linear-interpolation resampling, matching `sample::interpolate::Linear`
     + `Converter::scale_sample_hz` as used in lib.rs:57-64.

@@ -47,7 +47,8 @@ def _sel(i, options):
 
 
 def _kernel(est_f0_ref, est_b0_ref, rf_hbm, rb_hbm, outf_hbm, outb_hbm,
-            rf_scr, rb_scr, of_scr, ob_scr, sems, *, F: int, L: int, R: int):
+            rf_scr, rb_scr, of_scr, ob_scr, sems, *, F: int, L: int, R: int,
+            file_len: int):
     dt = rf_scr.dtype
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     res_mask = lane < R
@@ -55,6 +56,17 @@ def _kernel(est_f0_ref, est_b0_ref, rf_hbm, rb_hbm, outf_hbm, outb_hbm,
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     res_mask8 = lane8 < R
     n_blocks = (F + TBLK - 1) // TBLK
+
+    # Starting estimates as 2L scalars — the carry seed, also re-applied at
+    # every file boundary when several files are folded along the frame axis
+    # (file_len < F): each recording's tracker must start from the seed, never
+    # from the previous file's final estimates (spectrum.rs:336-341 is
+    # strictly per-recording state).
+    ef_row = est_f0_ref[:]
+    eb_row = est_b0_ref[:]
+    est0 = tuple(
+        jnp.sum(jnp.where(lane == i, ef_row, 0.0)) for i in range(L)
+    ) + tuple(jnp.sum(jnp.where(lane == i, eb_row, 0.0)) for i in range(L))
 
     def block_loop(blk, est):
         # est: flat tuple of 2L scalars (estimate freqs then bandwidths) —
@@ -195,6 +207,11 @@ def _kernel(est_f0_ref, est_b0_ref, rf_hbm, rb_hbm, outf_hbm, outb_hbm,
         valid_in_block = jnp.minimum(F - blk * TBLK, TBLK)
 
         def guarded(t, est):
+            # Reset the carry to the seed at each file boundary (no-op for a
+            # single file, where the only boundary is frame 0 == the seed).
+            g = blk * TBLK + t
+            at_start = (g % file_len) == 0
+            est = tuple(jnp.where(at_start, e0, e) for e0, e in zip(est0, est))
             new = frame_step(t, est)
             keep = t < valid_in_block
             return tuple(jnp.where(keep, n, o) for n, o in zip(new, est))
@@ -213,32 +230,37 @@ def _kernel(est_f0_ref, est_b0_ref, rf_hbm, rb_hbm, outf_hbm, outb_hbm,
         cp4.wait()
         return est
 
-    ef_row = est_f0_ref[:]
-    eb_row = est_b0_ref[:]
-    est0 = tuple(
-        jnp.sum(jnp.where(lane == i, ef_row, 0.0)) for i in range(L)
-    ) + tuple(jnp.sum(jnp.where(lane == i, eb_row, 0.0)) for i in range(L))
     jax.lax.fori_loop(0, n_blocks, block_loop, est0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "file_len"))
 def mccandless_scan_pallas(
     res_freq: jax.Array,
     res_bw: jax.Array,
     est_freq: jax.Array,
     est_bw: jax.Array,
     interpret: bool = False,
+    file_len: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Scan the McCandless step over frames. res_* (F, R); est_* (L,).
 
     Returns (freqs, bws), each (F, L) — the per-frame estimate snapshots
     (FormantExtractor semantics, spectrum.rs:336-369).
+
+    file_len: when F is a fold of several equal-length recordings
+    (F = files * file_len), the carry resets to the seed every `file_len`
+    frames — one kernel launch tracks a whole batch of files with per-file
+    state isolation. Default: F (a single recording).
     """
     F, R = res_freq.shape
     L = est_freq.shape[-1]
     dt = res_freq.dtype
     if R > LANES:
         raise ValueError(f"R={R} exceeds lane capacity {LANES}")
+    if file_len is None:
+        file_len = F
+    if F % file_len:
+        raise ValueError(f"F={F} not a multiple of file_len={file_len}")
 
     Fp = _round_up(F, TBLK)
     rf = jnp.pad(res_freq, [(0, Fp - F), (0, LANES - R)])
@@ -246,7 +268,7 @@ def mccandless_scan_pallas(
     ef0 = jnp.pad(est_freq[None, :], [(0, 0), (0, LANES - L)])
     eb0 = jnp.pad(est_bw[None, :], [(0, 0), (0, LANES - L)])
 
-    kernel = functools.partial(_kernel, F=F, L=L, R=R)
+    kernel = functools.partial(_kernel, F=F, L=L, R=R, file_len=int(file_len))
     outf, outb = pl.pallas_call(
         kernel,
         in_specs=[
