@@ -64,7 +64,9 @@ def main():
     mb = offset + int(math.floor(max_x)) + 4
 
     sl, freq_c, cand_c = jax.jit(candidates)(frames)
-    pos = jnp.where(cand_c, sr / freq_c - offset, float(bi))
+    # non-integer dead-lane fill, matching pitch.py (integer fills trip the
+    # kernel's snap branch)
+    pos = jnp.where(cand_c, sr / freq_c - offset, float(bi) + 0.5)
     sl, pos, cand_c = jax.device_put((sl, pos, cand_c))
 
     results = {}

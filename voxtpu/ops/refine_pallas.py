@@ -61,11 +61,17 @@ def _kernel(x0_ref, k_ref, valid_ref, row_ref, buf_ref, x_out_ref, fx_out_ref,
     sqrt_eps = math.sqrt(eps)
 
     col_base = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, CHUNK), 1)
+    # Column-parity sign tile, hoisted out of every tile pass: chunk starts c0
+    # are multiples of CHUNK (even), so (-1)^col == (-1)^col_base — a kernel
+    # constant. The per-lane base parity completes the (-1)^(col - base)
+    # factorization inside f() (sign algebra on +-1.0 is IEEE-exact, so the
+    # factored form is bit-identical to the old per-tile n % 2 computation).
+    alt = 1.0 - 2.0 * (col_base % 2).astype(dt)
 
     for sb in range(SUBBLOCKS):
         _refine_subblock(
             sb, x0_ref, k_ref, valid_ref, row_ref, buf_ref,
-            x_out_ref, fx_out_ref, strn_out_ref, col_base,
+            x_out_ref, fx_out_ref, strn_out_ref, col_base, alt,
             dt=dt, eps=eps, sqrt_eps=sqrt_eps,
             offset=offset, max_depth=max_depth, T=T, P=P, iters=iters, tol=tol,
             strength_depth=strength_depth,
@@ -73,7 +79,7 @@ def _kernel(x0_ref, k_ref, valid_ref, row_ref, buf_ref, x_out_ref, fx_out_ref,
 
 
 def _refine_subblock(sb, x0_ref, k_ref, valid_ref, row_ref, buf_ref,
-                     x_out_ref, fx_out_ref, strn_out_ref, col_base, *,
+                     x_out_ref, fx_out_ref, strn_out_ref, col_base, alt, *,
                      dt, eps, sqrt_eps, offset, max_depth, T, P, iters, tol,
                      strength_depth):
     r0 = sb * BLOCK
@@ -118,6 +124,12 @@ def _refine_subblock(sb, x0_ref, k_ref, valid_ref, row_ref, buf_ref,
         sin_r = jnp.sin(jnp.pi * phir)
         taper_rcp_l = 1.0 / (phil + mdf)  # hoisted out of the tile loop
         taper_rcp_r = 1.0 / (phir + mdf)
+        # Per-lane base parity: the tap sign (-1)^n factors as
+        # (-1)^col * (-1)^base (col parity is the hoisted `alt` tile), so the
+        # per-tile integer mod/convert/sign ops reduce to one multiply.
+        sign_br = 1.0 - 2.0 * (base_r % 2).astype(dt)  # (BLOCK, 1)
+        ss_r = sin_r * sign_br
+        ss_l = -sin_l * sign_br  # base_l = base_r + 1 flips the parity
 
         def chunk_body(ci, acc):
             acc_l, acc_r, at_nl, at_nr = acc
@@ -128,28 +140,28 @@ def _refine_subblock(sb, x0_ref, k_ref, valid_ref, row_ref, buf_ref,
             tile8 = buf_ref[:, pl.ds(c0, CHUNK)]  # (8, CHUNK)
             tile = jnp.dot(sel, tile8, preferred_element_type=dt)  # (BLOCK, CHUNK)
             col = c0 + col_base  # (BLOCK, CHUNK)
+            tile_s = tile * alt  # exact sign flips, shared by both sides
 
-            # (Measured: predicating each side on jnp.any(active) with
-            # lax.cond is a net loss in Mosaic — branch overhead exceeds the
-            # saved transcendentals. Both sides run unconditionally.)
+            # (Measured r2/r3: predication is a loss in Mosaic at every
+            # granularity tried — per-tile-side jnp.any(active) lax.cond, and
+            # a per-f()-call cond skipping the at_n* accumulators when no
+            # lane is within 1e-10 of an integer (+2.5-3 ms on the fused
+            # pass, scripts/perf_refine_trims.py). Everything below runs
+            # unconditionally.)
             n_r = col - base_r
             act_r = (n_r >= 0) & (n_r <= md)
-            tap_r = n_r.astype(dt)
-            sign_r = 1.0 - 2.0 * (n_r % 2).astype(dt)
-            a_r = jnp.pi * (phir + tap_r)
-            coef_r = (sin_r * sign_r / a_r) * (0.5 + 0.5 * jnp.cos(a_r * taper_rcp_r))
+            a_r = jnp.pi * (phir + n_r.astype(dt))
+            coef_r = (ss_r / a_r) * (0.5 + 0.5 * jnp.cos(a_r * taper_rcp_r))
             acc_r = acc_r + jnp.sum(
-                tile * jnp.where(act_r, coef_r, 0.0), axis=1, keepdims=True
+                tile_s * jnp.where(act_r, coef_r, 0.0), axis=1, keepdims=True
             )
 
             n_l = base_l - col
             act_l = (n_l >= 0) & (n_l <= md)
-            tap_l = n_l.astype(dt)
-            sign_l = 1.0 - 2.0 * (n_l % 2).astype(dt)
-            a_l = jnp.pi * (phil + tap_l)
-            coef_l = (sin_l * sign_l / a_l) * (0.5 + 0.5 * jnp.cos(a_l * taper_rcp_l))
+            a_l = jnp.pi * (phil + n_l.astype(dt))
+            coef_l = (ss_l / a_l) * (0.5 + 0.5 * jnp.cos(a_l * taper_rcp_l))
             acc_l = acc_l + jnp.sum(
-                tile * jnp.where(act_l, coef_l, 0.0), axis=1, keepdims=True
+                tile_s * jnp.where(act_l, coef_l, 0.0), axis=1, keepdims=True
             )
 
             # Values at the integer neighbors (for the 1e-10 snap returns).

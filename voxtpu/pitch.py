@@ -161,7 +161,10 @@ def pitch_frames(
     # --- strength: sinc depth 30 at n = sr/freq - offset (periodic.rs:429-435)
     # --- refinement: Brent over sinc depth 1200 (periodic.rs:440-450)
     pos = sample_rate / freq_c - offset
-    pos = jnp.where(cand_c, pos, float(bi))  # keep dead lanes in-range
+    # Dead lanes get an in-range NON-integer fill: an integer fill would trip
+    # the refine kernel's integer-snap branch (refine_pallas.py) on every
+    # strength eval. Dead-lane outputs are masked out below either way.
+    pos = jnp.where(cand_c, pos, float(bi) + 0.5)
     # Band-passed candidates satisfy sr/freq < sr/fmin, bounding the tap count.
     max_x = sample_rate / fmin - offset
     backend = refine_backend or default_backend()
