@@ -130,3 +130,40 @@ def test_power_and_ac_ct_odd_length():
     a2 = ct_autocorr(p, n)
     np.testing.assert_allclose(np.asarray(a2)[..., 1:], np.asarray(a1)[..., 1:],
                                rtol=1e-9, atol=1e-9)
+
+
+def test_power_and_ac_ct_fused_matches_fft():
+    """Fused Pallas CT kernel (voxtpu/ops/ct_fused_pallas.py, interpret mode)
+    == FFT backend, with the quirk correction riding on top — pins the
+    VMEM-resident chain's math end-to-end (VERDICT r2 #4). Odd batch sizes
+    exercise the FB-padding path."""
+    from voxtpu.autocorr import power_and_autocorrelate
+
+    rng = np.random.default_rng(31)
+    for n, B in ((128, 3), (1024, 11), (4096, 5)):
+        x = jnp.asarray(rng.standard_normal((B, n)))
+        p1, a1 = power_and_autocorrelate(x, backend="fft")
+        p2, a2 = power_and_autocorrelate(x, backend="ct_fused_interpret")
+        assert p1.shape == p2.shape == (B, n // 2 + 1)
+        scale = float(np.abs(np.asarray(p1)).max())
+        np.testing.assert_allclose(
+            np.asarray(p2) / scale, np.asarray(p1) / scale, rtol=1e-9, atol=1e-12
+        )
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-9, atol=1e-9)
+
+    # unsupported shapes (non-multiple-of-128 n) silently fall back
+    x = jnp.asarray(rng.standard_normal((2, 96)))
+    p3, a3 = power_and_autocorrelate(x, backend="ct_fused_interpret")
+    p1, a1 = power_and_autocorrelate(x, backend="fft")
+    np.testing.assert_allclose(np.asarray(a3), np.asarray(a1), rtol=1e-9, atol=1e-9)
+
+
+def test_autocorrelate_ct_fused_matches_fft():
+    from voxtpu.autocorr import autocorrelate
+
+    rng = np.random.default_rng(33)
+    for n, nc in ((256, 256), (512, 100)):
+        x = jnp.asarray(rng.standard_normal((3, n)))
+        a1 = autocorrelate(x, n_coeffs=nc, backend="fft")
+        a2 = autocorrelate(x, n_coeffs=nc, backend="ct_fused_interpret")
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-9, atol=1e-9)

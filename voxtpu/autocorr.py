@@ -42,12 +42,15 @@ def power_and_autocorrelate(
     serves both features. Returns (half_power (..., n//2+1), ac (..., n_coeffs)).
 
     backend:
-      "fft" — XLA rfft/irfft (exact parity; the CPU default).
-      "ct"  — four-step Cooley-Tukey matmul decomposition on the MXU
-              (voxtpu.ops.ct_fft; 1.8x faster on v5e at HIGHEST matmul
-              precision, max divergence ~2e-7 relative in f32). The TPU
-              default when the shape supports it.
-      None  — auto per voxtpu.backend.default_backend().
+      "fft"      — XLA rfft/irfft (exact parity; the CPU default).
+      "ct"       — four-step Cooley-Tukey matmul decomposition on the MXU
+                   (voxtpu.ops.ct_fft; 1.8x faster on v5e at HIGHEST matmul
+                   precision, max divergence ~2e-7 relative in f32).
+      "ct_fused" — the same decomposition as ONE Pallas kernel with all stage
+                   intermediates VMEM-resident (voxtpu.ops.ct_fused_pallas);
+                   the TPU default when the shape supports it (nfft == 2n,
+                   n % 128 == 0). "ct_fused_interpret" for CPU tests.
+      None       — auto per voxtpu.backend.default_backend().
     """
     x = jnp.asarray(x)
     n = x.shape[-1]
@@ -56,16 +59,38 @@ def power_and_autocorrelate(
     nfft = _next_pow2(2 * n)
 
     from voxtpu.ops.ct_fft import ct_supported
+    from voxtpu.ops.ct_fused_pallas import ct_fused_supported
 
     ct_ok = ct_supported(nfft) and nfft == 2 * n
+    fused_ok = ct_fused_supported(n, nfft)
     if backend is None:
         from voxtpu.backend import default_backend
 
-        backend = "ct" if default_backend() == "pallas" and ct_ok else "fft"
+        if default_backend() == "pallas" and fused_ok:
+            backend = "ct_fused"
+        elif default_backend() == "pallas" and ct_ok:
+            backend = "ct"
+        else:
+            backend = "fft"
+    elif backend in ("ct_fused", "ct_fused_interpret") and not fused_ok:
+        backend = "ct" if ct_ok else "fft"
     elif backend == "ct" and not ct_ok:
         backend = "fft"  # half-power even-bin identity needs nfft == 2n
 
-    if backend == "ct":
+    if backend in ("ct_fused", "ct_fused_interpret"):
+        # One Pallas kernel, every stage intermediate VMEM-resident
+        # (voxtpu/ops/ct_fused_pallas.py) — same decomposition as "ct" without
+        # the per-pass HBM round-trips.
+        from voxtpu.ops.ct_fused_pallas import ct_fused_power_ac
+
+        shape = x.shape
+        xb = x.reshape(-1, n)
+        half, ac = ct_fused_power_ac(
+            xb, nfft, interpret=backend == "ct_fused_interpret"
+        )
+        half = half.reshape(shape[:-1] + (n // 2 + 1,))
+        ac = ac[:, :n_coeffs].reshape(shape[:-1] + (n_coeffs,))
+    elif backend == "ct":
         from voxtpu.ops.ct_fft import ct_autocorr, ct_half_power, ct_power
 
         shape = x.shape
@@ -118,15 +143,33 @@ def autocorrelate(
     nfft = _next_pow2(2 * n)
 
     from voxtpu.ops.ct_fft import ct_supported
+    from voxtpu.ops.ct_fused_pallas import ct_fused_supported
 
+    fused_ok = ct_fused_supported(n, nfft)
     if backend is None:
         from voxtpu.backend import default_backend
 
-        backend = "ct" if default_backend() == "pallas" and ct_supported(nfft) else "fft"
+        if default_backend() == "pallas" and fused_ok:
+            backend = "ct_fused"
+        elif default_backend() == "pallas" and ct_supported(nfft):
+            backend = "ct"
+        else:
+            backend = "fft"
+    elif backend in ("ct_fused", "ct_fused_interpret") and not fused_ok:
+        backend = "ct" if ct_supported(nfft) else "fft"
     elif backend == "ct" and not ct_supported(nfft):
         backend = "fft"
 
-    if backend == "ct":
+    if backend in ("ct_fused", "ct_fused_interpret"):
+        from voxtpu.ops.ct_fused_pallas import ct_fused_power_ac
+
+        shape = x.shape
+        xb = x.reshape(-1, n)
+        _half, ac = ct_fused_power_ac(
+            xb, nfft, interpret=backend == "ct_fused_interpret"
+        )
+        ac = ac[:, :n_coeffs].reshape(shape[:-1] + (n_coeffs,))
+    elif backend == "ct":
         from voxtpu.ops.ct_fft import ct_autocorr, ct_power
 
         shape = x.shape
