@@ -139,6 +139,21 @@ def test_analyze_resample_hz_pins_f0(tmp_path):
     assert np.all(np.isfinite(z["mfcc"]))
 
 
+def test_analyze_resample_method_sinc(tmp_path):
+    """--resample-method sinc wires the bandlimited resampler through the
+    CLI: same frame count as linear, f0 still correct."""
+    wav = tmp_path / "sine.wav"
+    _write_sine_wav(wav, 150.0, sr=44100, seconds=0.4)
+    out = tmp_path / "f.npz"
+    rc = main(["analyze", str(wav), "-o", str(out), "--f64", "--viterbi",
+               "--resample-hz", "11025", "--resample-method", "sinc",
+               "--fmin", "60", "--fmax", "400"])
+    assert rc == 0
+    z = np.load(out)
+    voiced = z["f0"][z["f0"] > 0]
+    np.testing.assert_allclose(voiced, 150.0, atol=2.5)
+
+
 def test_corpus_same_stem_no_overwrite(tmp_path):
     """Two inputs with the same basename in different directories must get
     distinct feature files (ADVICE r2: silent overwrite + aliased manifest)."""

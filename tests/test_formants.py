@@ -135,3 +135,48 @@ def test_find_formants_sine_runs():
     # starting estimate than 700 is — a quirk reproduced faithfully.)
     got = np.asarray(freqs)
     assert np.all(np.min(np.abs(got - 2100.0), axis=-1) < 30.0), got
+
+
+def test_resample_sinc_identity_and_tone():
+    """resample_sinc (the reference example's commented-out Sinc variant,
+    main.rs:48-49): ratio 1 reproduces the signal; up/downsampling a pure
+    tone below both Nyquists preserves it to ~1e-3."""
+    from voxtpu.formants import resample_sinc
+
+    sr = 16000.0
+    t = np.arange(4000) / sr
+    x = np.sin(2 * np.pi * 440.0 * t)
+
+    same = np.asarray(resample_sinc(jnp.asarray(x), 1.0, len(x)))
+    np.testing.assert_allclose(same, x, atol=1e-9)
+
+    for ratio in (0.5, 2.0):
+        out_len = int((len(x) - 1) * ratio) + 1
+        out = np.asarray(resample_sinc(jnp.asarray(x), ratio, out_len))
+        t2 = np.arange(out_len) / (sr * ratio)
+        exp = np.sin(2 * np.pi * 440.0 * t2)
+        # ignore the edge taper regions (depth taps each side)
+        d = 120
+        np.testing.assert_allclose(out[d:-d], exp[d:-d], atol=2e-3)
+
+
+def test_resample_sinc_antialiases_vs_linear():
+    """Downsampling a tone ABOVE the target Nyquist: the sinc resampler's
+    cutoff suppresses it; linear interpolation aliases it into band."""
+    from voxtpu.formants import resample_linear, resample_sinc
+
+    sr = 44100.0
+    t = np.arange(20000) / sr
+    x = np.sin(2 * np.pi * 9000.0 * t)  # above the 11025/2 Hz target Nyquist
+    ratio = 11025.0 / sr
+    out_len = int((len(x) - 1) * ratio) + 1
+
+    lin = np.asarray(resample_linear(jnp.asarray(x), ratio, out_len))
+    snc = np.asarray(resample_sinc(jnp.asarray(x), ratio, out_len))
+    d = 120
+    rms_lin = np.sqrt(np.mean(lin[d:-d] ** 2))
+    rms_snc = np.sqrt(np.mean(snc[d:-d] ** 2))
+    # the aliased tone survives linear interpolation near full strength and
+    # must be heavily attenuated by the bandlimited resampler
+    assert rms_lin > 0.3, rms_lin
+    assert rms_snc < 0.12 * rms_lin, (rms_snc, rms_lin)

@@ -53,18 +53,23 @@ def _build_config(args, sample_rate: float):
 
 
 def _prepare_samples(samples, file_rate: float, args):
-    """Device-resident samples at the analysis rate: resample linearly (the
-    reference's `sample::interpolate::Linear`, lib.rs:57-64 semantics) when
-    --resample-hz differs from the file's rate."""
+    """Device-resident samples at the analysis rate: resampled when
+    --resample-hz differs from the file's rate. --resample-method picks
+    `linear` (the reference's `sample::interpolate::Linear`, lib.rs:57-64 —
+    the semantics its example actually executes) or `sinc` (the example's
+    commented-out bandlimited variant, main.rs:48-49 — anti-aliases on
+    downsampling)."""
     import jax.numpy as jnp
 
     x = jnp.asarray(samples)
     if not args.resample_hz or args.resample_hz == file_rate:
         return x
-    from voxtpu.formants import resample_linear
+    from voxtpu.formants import resample_linear, resample_sinc
 
     ratio = args.resample_hz / file_rate
     out_len = max(1, int(math.floor((x.shape[-1] - 1) * ratio)) + 1)
+    if getattr(args, "resample_method", "linear") == "sinc":
+        return resample_sinc(x, ratio, out_len)
     return resample_linear(x, ratio, out_len)
 
 
@@ -431,8 +436,13 @@ def main(argv=None) -> int:
         sp.add_argument("--threshold", type=float, default=0.2)
         sp.add_argument(
             "--resample-hz", type=float, default=None,
-            help="resample the signal once (linear, on-device) to this rate; "
+            help="resample the signal once (on-device) to this rate; "
                  "ALL features are then computed at this analysis rate",
+        )
+        sp.add_argument(
+            "--resample-method", choices=("linear", "sinc"), default="linear",
+            help="linear = the reference's executed semantics; sinc = "
+                 "bandlimited windowed-sinc (anti-aliases on downsampling)",
         )
         sp.add_argument("--features", default="pitch,formants,mfcc,rms")
         sp.add_argument("--viterbi", action="store_true", help="Viterbi pitch path")

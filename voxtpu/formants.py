@@ -273,6 +273,45 @@ def resample_linear(x: jax.Array, ratio: float, out_len: int) -> jax.Array:
     return left + (right - left) * frac
 
 
+def resample_sinc(
+    x: jax.Array, ratio: float, out_len: int, depth: int = 50
+) -> jax.Array:
+    """Bandlimited windowed-sinc resampling — the reference example's
+    commented-out `Sinc` interpolator variant
+    (examples/formant_extraction/src/main.rs:48-49; the code path never
+    executes there, so no bit-level parity target exists). Semantics follow
+    the textbook/Praat bandlimited resampler: each output sample is a
+    Hann-windowed sinc sum over `depth` source taps per side, with the sinc
+    cutoff at the LOWER of the source/target Nyquist frequencies — so
+    downsampling anti-aliases (which `resample_linear` does not) and
+    upsampling is a near-ideal interpolation.
+
+    1-D signals only (whole-recording ingest; per-frame analysis resampling
+    stays `resample_linear`, the semantics the reference actually executes).
+    """
+    x = jnp.asarray(x)
+    if x.ndim != 1:
+        raise ValueError("resample_sinc expects a 1-D signal")
+    n = x.shape[-1]
+    dt = x.dtype
+    r = jnp.asarray(ratio, dt)
+    pos = jnp.arange(out_len, dtype=dt) / r  # output k at source position k/ratio
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    cutoff = jnp.minimum(r, jnp.asarray(1.0, dt))  # <1 on downsample
+    m = jnp.arange(-depth + 1, depth + 1, dtype=jnp.int32)
+    idx = i0[:, None] + m[None, :]  # (out_len, 2*depth)
+    valid = (idx >= 0) & (idx < n)
+    xi = jnp.take(x, jnp.clip(idx, 0, n - 1))
+    d = pos[:, None] - idx.astype(dt)  # tap offset in source samples
+    ds = d * cutoff  # scaled: sinc bandwidth = cutoff * source Nyquist
+    sinc = jnp.where(ds == 0.0, 1.0, jnp.sin(jnp.pi * ds) / (jnp.pi * ds))
+    hann = jnp.where(
+        jnp.abs(d) < depth, 0.5 + 0.5 * jnp.cos(jnp.pi * d / depth), 0.0
+    )
+    taps = jnp.where(valid, xi * sinc * hann, 0.0)
+    return (cutoff * jnp.sum(taps, axis=-1)).astype(dt)
+
+
 def formant_candidates(
     frames: jax.Array,
     sample_rate: float,
