@@ -158,3 +158,65 @@ def test_div_polynomial():
     np.testing.assert_allclose(got_q[:2], qn[::-1], atol=1e-12)
     assert abs(float(got_q[2])) < 1e-12  # top zeroed
     np.testing.assert_allclose(float(np.asarray(rem.re)[0]), rn[-1], atol=1e-12)
+
+
+def test_find_roots_pallas_matches_jnp():
+    """Pallas roots kernel (voxtpu/ops/roots_pallas.py, interpret mode) ==
+    the jnp twin across normal, lower-degree, off_low>0, and zero-degree
+    rows. The kernel's algebraic complex sqrt (Mosaic has no atan2) differs
+    from the polar form at ulp level only."""
+    from voxtpu.ops.roots_pallas import find_roots_pallas
+
+    rng = np.random.default_rng(5)
+    B, N = 37, 14
+    cre = rng.standard_normal((B, N))
+    cim = rng.standard_normal((B, N)) * 0.3
+    cre[:, N - 1] = 1.0
+    cim[:, N - 1] = 0.0
+    cre[3] = 0.0
+    cim[3] = 0.0  # zero polynomial -> POLY_ZERO_DEGREE
+    cre[7, 10:] = 0.0
+    cim[7, 10:] = 0.0  # lower degree
+    cre[11, :2] = 0.0
+    cim[11, :2] = 0.0  # off_low > 0 -> leading zero roots
+
+    roots, count, status = find_roots(
+        C(jnp.asarray(cre), jnp.asarray(cim)), backend="jnp"
+    )
+    rre, rim, cnt2, st2 = find_roots_pallas(
+        jnp.asarray(cre), jnp.asarray(cim), interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(count), np.asarray(cnt2))
+    np.testing.assert_array_equal(np.asarray(status), np.asarray(st2))
+    np.testing.assert_allclose(np.asarray(rre), np.asarray(roots.re),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rim), np.asarray(roots.im),
+                               rtol=0, atol=1e-12)
+
+
+def test_find_roots_backend_dispatch_lpc_golden():
+    """The pallas_interpret backend reproduces the LPC-shaped golden root set
+    through the public find_roots entry (production dispatch path)."""
+    # order-10 LPC-like real polynomial: roots must satisfy p(z) ~ 0
+    rng = np.random.default_rng(12)
+    B, N = 5, 11
+    cre = rng.standard_normal((B, N)) * 0.4
+    cre[:, N - 1] = 1.0
+    cim = np.zeros((B, N))
+    roots, count, status = find_roots(
+        C(jnp.asarray(cre), jnp.asarray(cim)), backend="pallas_interpret"
+    )
+    assert np.all(np.asarray(status) == 0)
+    assert np.all(np.asarray(count) == N - 1)
+    # cross-check the root set against numpy.roots (deflation accumulates
+    # error into the tail roots — the reference does no polishing, so a raw
+    # residual check is the wrong bar; set-match is the meaningful one)
+    rr = np.asarray(roots.re) + 1j * np.asarray(roots.im)
+    for b in range(B):
+        exp = np.roots(cre[b][::-1])
+        got = rr[b][: N - 1]  # zeros past count are padding
+        # set match (sort_complex misaligns conjugate pairs on ulp-level
+        # real-part ties): every root within 1e-4 of a numpy root and v.v.
+        d = np.abs(got[:, None] - exp[None, :])
+        assert d.min(axis=1).max() < 1e-4, d.min(axis=1).max()
+        assert d.min(axis=0).max() < 1e-4, d.min(axis=0).max()

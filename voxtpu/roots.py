@@ -160,11 +160,17 @@ def _deflate(c: C, z: C, active: jax.Array) -> C:
     return C(jnp.where(act, new_re, c.re), jnp.where(act, new_im, c.im))
 
 
-def find_roots(c: C) -> tuple[C, jax.Array, jax.Array]:
+def find_roots(c: C, backend: str | None = None) -> tuple[C, jax.Array, jax.Array]:
     """All roots of batched polynomials (polynomial.rs:92-152).
 
     Args:
       c: (..., N) coefficient pairs, index = power.
+      backend: "jnp" (XLA loops; CPU/parity default), "pallas" (one kernel,
+        VMEM-resident deflation — voxtpu/ops/roots_pallas.py; the TPU
+        default), "pallas_interpret" for CPU equivalence tests. The pallas
+        path's complex sqrt uses the algebraic form (no atan2 in Mosaic) —
+        ulp-level differences from the polar form, pinned by
+        tests/test_roots.py.
 
     Returns:
       (roots, count, status): roots (..., N) pairs with zeros past `count`;
@@ -178,6 +184,23 @@ def find_roots(c: C) -> tuple[C, jax.Array, jax.Array]:
     N = re.shape[-1]
     batch = re.shape[:-1]
     dt = re.dtype
+
+    if backend is None:
+        from voxtpu.backend import default_backend
+
+        backend = default_backend()
+    if backend in ("pallas", "pallas_interpret") and N >= 3:
+        from voxtpu.ops.roots_pallas import find_roots_pallas
+
+        rre, rim, count, status = find_roots_pallas(
+            re.reshape(-1, N), im.reshape(-1, N),
+            interpret=backend == "pallas_interpret",
+        )
+        return (
+            C(rre.reshape(batch + (N,)), rim.reshape(batch + (N,))),
+            count.reshape(batch),
+            status.reshape(batch),
+        )
 
     deg = degree(c)
     low = off_low(c)
