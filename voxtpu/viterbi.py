@@ -108,7 +108,10 @@ def pitch_path(
 
     init = local[0]
     xs = (freq[:-1], freq[1:], local[1:])
-    final_score, backptr = jax.lax.scan(step, init, xs)  # backptr (F-1, C)
+    # unroll=8: the DP steps are tiny (C,C) tile ops, so the scan is
+    # loop-overhead-bound on TPU; unrolling amortizes it (~8% off the stage,
+    # measured on-chip — scripts/perf_viterbi.py). Per-step math unchanged.
+    final_score, backptr = jax.lax.scan(step, init, xs, unroll=8)  # (F-1, C)
 
     last = jnp.argmax(final_score)
 
@@ -120,7 +123,7 @@ def pitch_path(
     # Reverse scan over backptr rows t = F-2..0: carry enters as the chosen
     # candidate of frame t+1, emits it at position t, and exits as frame t's
     # candidate — so ys == path[1:] and the final carry is path[0].
-    first, path_tail = jax.lax.scan(back, last, backptr, reverse=True)
+    first, path_tail = jax.lax.scan(back, last, backptr, reverse=True, unroll=8)
     path = jnp.concatenate([first[None], path_tail])
 
     f0 = jnp.take_along_axis(freq, path[:, None], axis=-1)[:, 0]
