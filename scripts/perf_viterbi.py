@@ -12,6 +12,10 @@ Findings (v5e, 5121 frames, C=33, wall incl. ~28 ms tunnel floor):
   scan-step-overhead-bound; unrolling amortizes the per-step loop cost;
   unroll=32 measured no better than 8; per-step math unchanged, paths
   bit-identical)
+- single Pallas kernel (DP + backtrace in one pallas_call,
+  ops/viterbi_pallas.py): ~30 ms wall (~2 ms device) — ~4-5x the stage's
+  device time off; KEPT as the TPU default (backend="pallas"); paths
+  bit-identical to the jnp twin (checked below and in tests/test_pallas.py)
 
 Run: python scripts/perf_viterbi.py [reps]
 """
@@ -49,21 +53,31 @@ def main():
     print(f"frames={frames.shape[0]} C={freq.shape[1]}", flush=True)
 
     cfg = PathConfig(ceiling=600.0)
-    fn = jax.jit(
-        lambda f, s, v, i: jnp.stack(
-            [jnp.sum(a) for a in pitch_path(f, s, v, cfg, local_intensity=i)]
+    outs = {}
+    for backend in ("jnp", "pallas"):
+        fn = jax.jit(
+            lambda f, s, v, i: jnp.stack(
+                [
+                    jnp.sum(a)
+                    for a in pitch_path(
+                        f, s, v, cfg, local_intensity=i, backend=backend
+                    )
+                ]
+            )
         )
-    )
-    np.asarray(fn(freq, strength, valid, inten))
-    best = 1e9
-    for _ in range(9):
-        t0 = time.perf_counter()
-        np.asarray(fn(freq, strength, valid, inten)).sum()
-        best = min(best, time.perf_counter() - t0)
-    print(
-        f"viterbi pitch_path: {best * 1e3:.2f} ms wall for {frames.shape[0]} frames",
-        flush=True,
-    )
+        outs[backend] = np.asarray(fn(freq, strength, valid, inten))
+        best = 1e9
+        for _ in range(9):
+            t0 = time.perf_counter()
+            np.asarray(fn(freq, strength, valid, inten)).sum()
+            best = min(best, time.perf_counter() - t0)
+        print(
+            f"viterbi pitch_path[{backend}]: {best * 1e3:.2f} ms wall "
+            f"for {frames.shape[0]} frames",
+            flush=True,
+        )
+    same = np.array_equal(outs["jnp"], outs["pallas"])
+    print(f"checksums equal across backends: {same}", flush=True)
 
 
 if __name__ == "__main__":

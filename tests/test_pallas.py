@@ -269,3 +269,33 @@ def test_refine_kernel_f32_interpret():
     # (0.06% relative — the documented fast-mode budget, test_fast_mode).
     assert np.all(np.abs(np.asarray(xf) - x0) <= 1.0 + 1e-5)
     np.testing.assert_allclose(np.asarray(xf), np.asarray(xd), atol=0.15)
+
+
+def test_viterbi_kernel_matches_jnp():
+    """Single-kernel DP+backtrace (ops/viterbi_pallas.py) is bit-identical to
+    the lax.scan twin — incl. argmax tie-breaking, -inf invalid lanes, the
+    silence-aware unvoiced strength, and multi-block frame counts."""
+    from voxtpu.viterbi import PathConfig, pitch_path
+
+    rng = np.random.default_rng(11)
+    for F, C in [(1, 4), (7, 4), (128, 16), (300, 33), (517, 32)]:
+        freq = np.where(
+            rng.random((F, C)) < 0.3, 0.0, rng.uniform(60.0, 600.0, (F, C))
+        )
+        # Quantize strengths to force score ties: first-win argmax semantics
+        # must match jnp.argmax in both the DP and the final-frame pick.
+        strength = np.round(rng.uniform(0.0, 1.0, (F, C)), 1)
+        valid = rng.random((F, C)) < 0.9
+        valid[:, 0] = True
+        li = rng.uniform(0.0, 1.0, F)
+        for kw in ({}, {"local_intensity": jnp.asarray(li)}):
+            a = pitch_path(
+                jnp.asarray(freq), jnp.asarray(strength), jnp.asarray(valid),
+                PathConfig(), backend="jnp", **kw,
+            )
+            b = pitch_path(
+                jnp.asarray(freq), jnp.asarray(strength), jnp.asarray(valid),
+                PathConfig(), backend="pallas_interpret", **kw,
+            )
+            np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+            np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))

@@ -42,13 +42,14 @@ def take_best(freq: jax.Array, strength: jax.Array) -> tuple[jax.Array, jax.Arra
     return freq[..., 0], strength[..., 0]
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "backend"))
 def pitch_path(
     freq: jax.Array,
     strength: jax.Array,
     valid: jax.Array,
     config: PathConfig = PathConfig(),
     local_intensity: jax.Array | None = None,
+    backend: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Viterbi path through per-frame pitch candidates.
 
@@ -58,6 +59,10 @@ def pitch_path(
       local_intensity: optional (F,) frame intensity relative to the global
         peak (the reference pitch()'s vestigial local_peak/global_peak args);
         drives Praat's silence-aware unvoiced strength when given.
+      backend: "jnp" (unrolled lax.scan DP) / "pallas" (single-kernel DP +
+        backtrace, voxtpu/ops/viterbi_pallas.py) / "pallas_interpret" /
+        None = auto (pallas on TPU). Paths are bit-identical across backends
+        (pinned by tests/test_pallas.py).
 
     Returns:
       (f0, strength) per frame, (F,) each — the maximum-score path.
@@ -82,6 +87,24 @@ def pitch_path(
         s_unvoiced = strength
     local = jnp.where(voiced, s_voiced, s_unvoiced)
     local = jnp.where(valid, local, neg_inf)
+
+    from voxtpu.backend import default_backend
+
+    backend = backend or default_backend()
+    if backend in ("pallas", "pallas_interpret") and C <= 128:
+        from voxtpu.ops.viterbi_pallas import viterbi_path_pallas
+
+        path = viterbi_path_pallas(
+            local,
+            jnp.where(voiced, freq, 1.0),
+            voiced,
+            ojc=config.octave_jump_cost,
+            vuc=config.voiced_unvoiced_cost,
+            interpret=backend == "pallas_interpret",
+        )
+        f0 = jnp.take_along_axis(freq, path[:, None], axis=-1)[:, 0]
+        s0 = jnp.take_along_axis(strength, path[:, None], axis=-1)[:, 0]
+        return f0, s0
 
     # Transition cost matrix per step: (prev C, cur C).
     def trans(fp, fc):
