@@ -98,14 +98,17 @@ def main():
                                       max_base=mb, iters=0)
         return strn
 
-    def s5(fr):  # + full Brent refine kernel
+    def s5(fr):  # + full Brent refine kernel (THE production path since r3:
+        # the depth-30 strength eval is dead, PERFORMANCE.md 10b)
         sl, freq_c, cand_c = s3(fr)
         pos = jnp.where(cand_c, sr / freq_c - offset, float(bi))
         x, fx = brent_refine_pallas(sl, pos, cand_c, offset, 1200, t1200 - 1,
                                     max_base=mb + 1)
         return x, fx
 
-    def s6(fr):  # + fused strength+refine (ONE kernel pass — production path)
+    def s6(fr):  # + fused strength+refine (pre-r3 production path; kept as a
+        # measurement of what the dead strength eval cost — the production
+        # path is s5 since the r3 removal, PERFORMANCE.md 10b)
         sl, freq_c, cand_c = s3(fr)
         pos = jnp.where(cand_c, sr / freq_c - offset, float(bi))
         x, fx, strn = brent_refine_pallas(

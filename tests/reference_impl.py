@@ -206,10 +206,12 @@ def pitch(
     global_peak: float,
     fmin: float,
     fmax: float,
+    refine: bool = True,
 ):
     """periodic.rs:396-455 (Boersma candidates). Returns [(freq, strength)],
     sorted by strength descending. local_peak/global_peak are accepted but
-    unused, as in the reference (periodic.rs:357 vestigial params)."""
+    unused, as in the reference (periodic.rs:357 vestigial params).
+    refine=False stops after the first pass (see below)."""
     n = len(x)
     window_lag = hanning_lag(n)
     self_lag = autocorrelate(x, n)
@@ -238,6 +240,15 @@ def pitch(
         maxima.append((freq, strn))
 
     maxima = [m for m in maxima if m[0] == 0.0 or (fmin < m[0] < fmax)]
+
+    if not refine:
+        # First-pass-only candidates (periodic.rs:420-439): parabolic
+        # frequency + depth-30 sinc strength, no second (Brent) pass.
+        # Oracle for voxtpu.pitch's refine="parabolic" turbo mode.
+        maxima = list(maxima)
+        maxima.append((0.0, threshold))
+        maxima.sort(key=lambda p: -p[1])
+        return maxima
 
     refined = []
     for (freq, _strn) in maxima:

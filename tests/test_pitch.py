@@ -160,3 +160,73 @@ def test_improve_extremum_sinc_is_max_false():
         jnp.asarray(y)[None], 0, 32, jnp.asarray([[0.0]]), "sinc", is_max=False
     )
     assert float(gx[0, 0]) == 0.0 and float(gy[0, 0]) == y[0]
+
+
+def test_pitch_parabolic_turbo_matches_oracle_first_pass():
+    """refine="parabolic" is the reference's pass-1 candidate set
+    (periodic.rs:420-439): parabolic vertex frequency + depth-30 sinc
+    strength, no Brent pass — on both backends."""
+    bin_ = 512
+    x = sine_hz(220.0, 11025.0, bin_) * np.asarray(hann(bin_))
+    x = x + 0.3 * sine_hz(440.0, 11025.0, bin_) * np.asarray(hann(bin_))
+    exp = ref.pitch(x, 11025.0, 0.2, 1.0, 1.0, 100.0, 500.0, refine=False)
+    for be in ("jnp", "pallas_interpret"):
+        freq, strength, valid = pitch_frames(
+            jnp.asarray(x)[None, :], 11025.0, threshold=0.2,
+            fmin=100.0, fmax=500.0, refine="parabolic", refine_backend=be,
+        )
+        got_f = np.asarray(freq)[0][np.asarray(valid)[0]]
+        got_s = np.asarray(strength)[0][np.asarray(valid)[0]]
+        assert len(got_f) == len(exp)
+        for (ef, es), gf, gs in zip(exp, got_f, got_s):
+            if ef == 0.0:
+                assert gf == 0.0 and abs(gs - es) < 1e-12
+            else:
+                np.testing.assert_allclose(gf, ef, rtol=1e-9)
+                np.testing.assert_allclose(gs, es, rtol=1e-9, atol=1e-12)
+
+
+def test_refine_depth_cap_backends_agree():
+    """The refine_depth cap is a documented deviation (PARITY.md): both
+    backends must agree with each other at the capped depth, and the capped
+    f0 must stay within the measured budget of the full-depth answer."""
+    import os
+    from voxtpu.io_wav import read_wav
+    from voxtpu.frame import frame_signal
+
+    wav = read_wav(
+        os.path.join(os.path.dirname(__file__), "fixtures", "short_sample.wav")
+    )
+    bin_, hop = 512, 256
+    frames = frame_signal(jnp.asarray(wav.samples), bin_, hop, window="hanning")
+    sr = float(wav.sample_rate)
+
+    out = {}
+    for be in ("jnp", "pallas_interpret"):
+        out[be] = [
+            np.asarray(a)
+            for a in pitch_frames(
+                frames, sr, threshold=0.2, fmin=60.0, fmax=500.0,
+                refine_depth=70, refine_backend=be,
+            )
+        ]
+    # Compare candidate *sets* per frame: at a capped depth the two
+    # implementations' op orders round differently at ~1e-16, Brent amplifies
+    # that to ~1e-5 in x, and near-tied strengths then swap sort positions.
+    fa, sa, va = out["jnp"]
+    fb, sb, vb = out["pallas_interpret"]
+    for i in range(fa.shape[0]):
+        A = sorted(zip(fa[i][va[i]], sa[i][va[i]]))
+        B = sorted(zip(fb[i][vb[i]], sb[i][vb[i]]))
+        assert len(A) == len(B)
+        for (af, as_), (bf, bs) in zip(A, B):
+            np.testing.assert_allclose(af, bf, rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(as_, bs, rtol=1e-5, atol=1e-7)
+
+    f_full, s_full, v_full = pitch_frames(
+        frames, sr, threshold=0.2, fmin=60.0, fmax=500.0, refine_backend="jnp"
+    )
+    f_cap = np.asarray(out["jnp"][0][..., 0])
+    f_ref = np.asarray(f_full[..., 0])
+    m = (f_cap != 0) & (f_ref != 0)
+    np.testing.assert_allclose(f_cap[m], f_ref[m], rtol=1e-3)

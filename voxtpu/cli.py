@@ -41,6 +41,8 @@ def _build_config(args, sample_rate: float):
                 threshold=args.threshold,
                 fmin=args.fmin,
                 fmax=args.fmax,
+                refine=args.pitch_refine,
+                refine_depth=args.refine_depth,
             ),
             formant=FormantConfig(
                 enabled="formants" in features,
@@ -446,6 +448,17 @@ def main(argv=None) -> int:
         )
         sp.add_argument("--features", default="pitch,formants,mfcc,rms")
         sp.add_argument("--viterbi", action="store_true", help="Viterbi pitch path")
+        sp.add_argument(
+            "--pitch-refine", choices=("sinc", "parabolic"), default="sinc",
+            help="pitch candidate refinement: 'sinc' = reference-exact second "
+            "pass (Brent over windowed sinc); 'parabolic' = first-pass-only "
+            "turbo (~0.1%% max f0 deviation on real speech, measured)",
+        )
+        sp.add_argument(
+            "--refine-depth", type=int, default=None, metavar="N",
+            help="cap the sinc refine depth (reference: 1200; 70 measured "
+            "f0-bit-identical on real speech — see PERFORMANCE.md)",
+        )
         sp.add_argument("--f64", action="store_true", help="float64 (CPU parity mode)")
 
     sa = sub.add_parser("analyze", help="analyze one WAV file")

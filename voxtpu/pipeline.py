@@ -39,6 +39,15 @@ class PitchConfig:
     #: run the Viterbi path search (voxtpu.viterbi) and report its track as
     #: f0 instead of the strongest candidate (the reference stub's behavior)
     viterbi: bool = False
+    #: "sinc" = the reference's second pass (Brent over windowed sinc,
+    #: periodic.rs:440-450); "parabolic" = first-pass-only turbo (parabolic
+    #: vertex + depth-30 strength; ~0.1% max f0 error on real speech —
+    #: measured, PERFORMANCE.md; documented deviation, PARITY.md)
+    refine: str = "sinc"
+    #: cap on the refine pass's sinc depth; None = the reference's 1200.
+    #: Lower caps (e.g. Praat-style 70) shrink the kernel's tap window —
+    #: measured f0 bit-identical on real speech down to 70 (PERFORMANCE.md)
+    refine_depth: int | None = None
 
 
 @dataclass(frozen=True)
@@ -150,6 +159,7 @@ def analyze_frames(
         freq, strength, valid = pitch_frames(
             windowed, sr, threshold=p.threshold, fmin=p.fmin, fmax=p.fmax,
             max_candidates=p.max_candidates, precomputed_ac=shared_ac,
+            refine=p.refine, refine_depth=p.refine_depth,
         )
         out["pitch_candidates_freq"] = freq
         out["pitch_candidates_strength"] = strength

@@ -11,10 +11,13 @@ TPU design — the whole frame batch moves through one fused program:
   3. parabolic frequency per maximum (vectorized), band filter;
   4. candidate compaction to a fixed capacity (lag order, like the reference's
      push order);
-  5. strength via depth-30 windowed-sinc interpolation, one masked tap
-     reduction per (frame, candidate) lane;
-  6. Brent + depth-1200 sinc refinement as a fixed 60-trip vector loop;
-  7. the unvoiced candidate (freq 0, strength = threshold) appended, then a
+  5. Brent + depth-1200 sinc refinement (the Pallas kernel,
+     ops/refine_pallas.py, or a vector-loop jnp twin). The reference also
+     computes a depth-30 strength before refining (periodic.rs:429-435) but
+     overwrites it with the Brent value (periodic.rs:441-450) — dead, so the
+     production path skips that eval (the turbo `refine="parabolic"` mode is
+     where it is live);
+  6. the unvoiced candidate (freq 0, strength = threshold) appended, then a
      batched sort by strength descending (stable, matching Rust sort_by).
 
 `local_peak`/`global_peak` are accepted-but-unused in the reference
@@ -46,6 +49,7 @@ REFINE_SINC_DEPTH = 1200  # periodic.rs:444
     jax.jit,
     static_argnames=(
         "sample_rate", "fmin", "fmax", "max_candidates", "threshold", "refine_backend",
+        "refine_depth", "refine",
     ),
 )
 def pitch_frames(
@@ -59,6 +63,8 @@ def pitch_frames(
     max_candidates: int = 32,
     refine_backend: str | None = None,
     precomputed_ac: jax.Array | None = None,
+    refine_depth: int | None = None,
+    refine: str = "sinc",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Pitch candidates for a batch of (already windowed) frames.
 
@@ -72,6 +78,18 @@ def pitch_frames(
       max_candidates: fixed candidate capacity per frame. The reference keeps
         every band-passed local maximum; voiced speech yields well under 32.
         If a frame has more, the lowest-lag ones win (reference push order).
+      refine_depth: max sinc depth for the Brent refinement pass. None =
+        the reference's hardcoded 1200 (periodic.rs:445; the low clip makes
+        the effective depth lag+1, so the taps span the whole buffer
+        prefix). Lower values (e.g. Praat's fast sinc70) cap the tap window
+        — a documented accuracy/speed knob (PARITY.md), NOT reference
+        semantics.
+      refine: "sinc" (default — the reference's second pass: Brent over the
+        windowed-sinc interpolant, periodic.rs:440-450) or "parabolic"
+        (first-pass-only turbo: keep the parabolic-vertex frequency and use
+        the depth-30 sinc strength, i.e. the reference's own pass-1
+        candidate set, periodic.rs:420-438, skipping the second pass —
+        a documented speed mode, PARITY.md).
 
     Returns:
       (freq, strength, valid): each (B, max_candidates + 1), sorted by
@@ -167,25 +185,44 @@ def pitch_frames(
     pos = jnp.where(cand_c, pos, float(bi) + 0.5)
     # Band-passed candidates satisfy sr/freq < sr/fmin, bounding the tap count.
     max_x = sample_rate / fmin - offset
+    depth = REFINE_SINC_DEPTH if refine_depth is None else int(refine_depth)
     backend = refine_backend or default_backend()
-    if backend in ("pallas", "pallas_interpret"):
-        # One fused kernel pass computes the depth-30 strength at pos AND the
-        # Brent-refined extremum (the two hot loops share the VMEM-resident
-        # lag buffers).
+    if refine == "parabolic":
+        # First-pass-only turbo: the reference's pass-1 candidate set
+        # (periodic.rs:420-438) — parabolic-vertex frequency, depth-30 sinc
+        # strength at the vertex — without the second (Brent) pass. One cheap
+        # kernel eval replaces the ~7 full-depth evals.
+        if backend in ("pallas", "pallas_interpret"):
+            from voxtpu.sinc import _max_effective_depth
+            from voxtpu.ops.refine_pallas import brent_refine_pallas
+
+            t30 = _max_effective_depth(offset, nx, STRENGTH_SINC_DEPTH, max_x) + 1
+            _, strn = brent_refine_pallas(
+                self_lag, pos, cand_c, offset, STRENGTH_SINC_DEPTH, t30 - 1,
+                max_base=offset + int(math.floor(max_x)) + 3,
+                iters=0,
+                interpret=backend == "pallas_interpret",
+            )
+            # interpolate_sinc's outer early returns (periodic.rs:39-40).
+            strn = jnp.where(pos > nx, self_lag[:, bi][:, None], strn)
+            strn = jnp.where(pos < 0.0, self_lag[:, 0][:, None], strn)
+        else:
+            strn = interpolate_sinc(
+                self_lag, offset, nx, pos, STRENGTH_SINC_DEPTH, max_x=max_x
+            )
+        strn = jnp.where(strn > 1.0, 1.0 / strn, strn)
+        freq_r = freq_c
+        strength_r = strn
+    elif backend in ("pallas", "pallas_interpret"):
         from voxtpu.sinc import _max_effective_depth
         from voxtpu.ops.refine_pallas import brent_refine_pallas
 
-        taps = _max_effective_depth(offset, nx, REFINE_SINC_DEPTH, max_x + 1.0) + 1
-        xb, fb, strn = brent_refine_pallas(
-            self_lag, pos, cand_c, offset, REFINE_SINC_DEPTH, taps - 1,
+        taps = _max_effective_depth(offset, nx, depth, max_x + 1.0) + 1
+        xb, fb = brent_refine_pallas(
+            self_lag, pos, cand_c, offset, depth, taps - 1,
             max_base=offset + int(math.floor(max_x + 1.0)) + 3,
-            strength_depth=STRENGTH_SINC_DEPTH,
             interpret=backend == "pallas_interpret",
         )
-        # interpolate_sinc's outer early returns (periodic.rs:39-40).
-        y_edge = self_lag[:, bi][:, None]
-        strn = jnp.where(pos > nx, y_edge, strn)
-        strn = jnp.where(pos < 0.0, self_lag[:, 0][:, None], strn)
         # improve_extremum's edge selects (periodic.rs:193-194).
         y_last = self_lag[:, nx - 1][:, None]
         at_zero = pos == 0.0
@@ -193,16 +230,20 @@ def pitch_frames(
         xmid = jnp.where(at_zero, 0.0, jnp.where(past_end, float(nx), xb))
         ymid = jnp.where(at_zero, self_lag[:, 0][:, None], jnp.where(past_end, y_last, fb))
     else:
-        strn = interpolate_sinc(self_lag, offset, nx, pos, STRENGTH_SINC_DEPTH, max_x=max_x)
         xmid, ymid = improve_extremum_sinc(
-            self_lag, offset, nx, pos, REFINE_SINC_DEPTH, max_x=max_x + 1.0,
+            self_lag, offset, nx, pos, depth, max_x=max_x + 1.0,
             lane_mask=cand_c, backend=backend,
         )
-    strn = jnp.where(strn > 1.0, 1.0 / strn, strn)
-    xmid = xmid + offset
-    ymid = jnp.where(ymid > 1.0, 1.0 / ymid, ymid)
-    freq_r = sample_rate / xmid
-    strength_r = ymid
+    if refine != "parabolic":
+        # The reference also computes a depth-30 strength at pos here
+        # (periodic.rs:429-435) but immediately overwrites it with the Brent
+        # maximum's value (the second map, periodic.rs:441-450) — the eval is
+        # dead, so the production path skips it (it used to ride fused in the
+        # kernel; measured win in PERFORMANCE.md).
+        xmid = xmid + offset
+        ymid = jnp.where(ymid > 1.0, 1.0 / ymid, ymid)
+        freq_r = sample_rate / xmid
+        strength_r = ymid
 
     # --- append unvoiced candidate + sort by strength desc (periodic.rs:452-453)
     freq_all = jnp.concatenate(
