@@ -117,6 +117,82 @@ def main():
         )
         return x, fx, strn
 
+    threshold = 0.2
+
+    def post_argsort(fr):  # s5 + the shipped ending: pos/edge selects,
+        # unvoiced append, stable argsort + 3 take_along_axis gathers.
+        sl, freq_c, cand_c = s3(fr)
+        pos = jnp.where(cand_c, sr / freq_c - offset, float(bi) + 0.5)
+        xb, fb = brent_refine_pallas(sl, pos, cand_c, offset, 1200, t1200 - 1,
+                                     max_base=mb + 1)
+        y_last = sl[:, nx - 1][:, None]
+        at_zero = pos == 0.0
+        past_end = pos >= nx
+        xmid = jnp.where(at_zero, 0.0, jnp.where(past_end, float(nx), xb))
+        ymid = jnp.where(at_zero, sl[:, 0][:, None], jnp.where(past_end, y_last, fb))
+        xmid = xmid + offset
+        ymid = jnp.where(ymid > 1.0, 1.0 / ymid, ymid)
+        freq_r = sr / xmid
+        B = fr.shape[0]
+        dtt = fr.dtype
+        freq_all = jnp.concatenate(
+            [jnp.where(cand_c, freq_r, 0.0), jnp.zeros((B, 1), dtype=dtt)], axis=-1)
+        strength_all = jnp.concatenate(
+            [jnp.where(cand_c, ymid, -jnp.inf), jnp.full((B, 1), threshold, dtype=dtt)],
+            axis=-1)
+        valid_all = jnp.concatenate([cand_c, jnp.ones((B, 1), dtype=bool)], axis=-1)
+        sort_ix = jnp.argsort(-strength_all, axis=-1, stable=True)
+        freq_s = jnp.take_along_axis(freq_all, sort_ix, axis=-1)
+        strength_s = jnp.take_along_axis(strength_all, sort_ix, axis=-1)
+        valid_s = jnp.take_along_axis(valid_all, sort_ix, axis=-1)
+        strength_s = jnp.where(valid_s, strength_s, 0.0)
+        return freq_s, strength_s, valid_s
+
+    def post_laxsort(fr):  # same ending but ONE variadic stable lax.sort
+        # carrying (freq, strength, valid) as payloads — zero gathers.
+        sl, freq_c, cand_c = s3(fr)
+        pos = jnp.where(cand_c, sr / freq_c - offset, float(bi) + 0.5)
+        xb, fb = brent_refine_pallas(sl, pos, cand_c, offset, 1200, t1200 - 1,
+                                     max_base=mb + 1)
+        y_last = sl[:, nx - 1][:, None]
+        at_zero = pos == 0.0
+        past_end = pos >= nx
+        xmid = jnp.where(at_zero, 0.0, jnp.where(past_end, float(nx), xb))
+        ymid = jnp.where(at_zero, sl[:, 0][:, None], jnp.where(past_end, y_last, fb))
+        xmid = xmid + offset
+        ymid = jnp.where(ymid > 1.0, 1.0 / ymid, ymid)
+        freq_r = sr / xmid
+        B = fr.shape[0]
+        dtt = fr.dtype
+        freq_all = jnp.concatenate(
+            [jnp.where(cand_c, freq_r, 0.0), jnp.zeros((B, 1), dtype=dtt)], axis=-1)
+        strength_all = jnp.concatenate(
+            [jnp.where(cand_c, ymid, -jnp.inf), jnp.full((B, 1), threshold, dtype=dtt)],
+            axis=-1)
+        valid_all = jnp.concatenate([cand_c, jnp.ones((B, 1), dtype=bool)], axis=-1)
+        _key, freq_s, strength_s, valid_s = jax.lax.sort(
+            (-strength_all, freq_all, strength_all, valid_all),
+            dimension=-1, is_stable=True, num_keys=1)
+        strength_s = jnp.where(valid_s, strength_s, 0.0)
+        return freq_s, strength_s, valid_s
+
+    def s3_nogather(fr):  # s3 with freq compacted by the same masked reduces
+        # instead of take_along_axis.
+        sl, freq, cand = s2(fr)
+        lag_lo = max(int(math.floor(sr / fmax)) - 64, 1)
+        lag_hi = min(int(math.ceil(sr / fmin)) + 64, bi - 2)
+        w0, w1 = lag_lo - 1, lag_hi
+        candw = cand[:, w0:w1]
+        freqw = freq[:, w0:w1]
+        rank = jnp.cumsum(candw.astype(jnp.int32), axis=-1)
+        sel = candw & (rank <= C)
+        freq_c = jnp.stack(
+            [jnp.sum(jnp.where(sel & (rank == c + 1), freqw, 0.0), axis=-1)
+             for c in range(C)], axis=-1)
+        nvalid = jnp.minimum(rank[:, -1], C)
+        cand_c = jnp.arange(C, dtype=jnp.int32)[None, :] < nvalid[:, None]
+        return sl, freq_c, cand_c
+
     def scalar(fn):
         def g(fr):
             out = fn(fr)
@@ -125,8 +201,10 @@ def main():
         return g
 
     for name, fn in [("s1 ac", s1), ("s2 maxima", s2), ("s3 compact", s3),
+                     ("s3 nogather", s3_nogather),
                      ("s4 strength", s4), ("s5 refine", s5),
-                     ("s6 fused s+r", s6)]:
+                     ("s6 fused s+r", s6),
+                     ("s7 argsort", post_argsort), ("s7 laxsort", post_laxsort)]:
         t = timeit(jax.jit(scalar(fn)), frames)
         print(f"{name:12s}: {t*1e3:8.2f} ms", flush=True)
 

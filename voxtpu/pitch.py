@@ -255,10 +255,15 @@ def pitch_frames(
     )
     valid_all = jnp.concatenate([cand_c, jnp.ones((B, 1), dtype=bool)], axis=-1)
 
-    sort_ix = jnp.argsort(-strength_all, axis=-1, stable=True)
-    freq_s = jnp.take_along_axis(freq_all, sort_ix, axis=-1)
-    strength_s = jnp.take_along_axis(strength_all, sort_ix, axis=-1)
-    valid_s = jnp.take_along_axis(valid_all, sort_ix, axis=-1)
+    # One variadic stable sort carrying the three payloads — permutation-
+    # identical to stable argsort(-strength) + three take_along_axis gathers
+    # (argsort IS a stable lax.sort underneath), but the gathers cost ~4 ms
+    # at 5121 frames on v5e (scripts/perf_pitch_stages.py s7 argsort vs
+    # laxsort) while sort payloads ride the same sort network for free.
+    _key, freq_s, strength_s, valid_s = jax.lax.sort(
+        (-strength_all, freq_all, strength_all, valid_all),
+        dimension=-1, is_stable=True, num_keys=1,
+    )
     strength_s = jnp.where(valid_s, strength_s, 0.0)
     return freq_s, strength_s, valid_s
 
