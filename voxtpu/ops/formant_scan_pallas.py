@@ -105,13 +105,17 @@ def _kernel(est_f0_ref, est_b0_ref, rf_hbm, rb_hbm, outf_hbm, outb_hbm,
             sfcol = jnp.sum(jnp.where(sel, rfreq, 0.0), axis=1, keepdims=True)
             sbcol = jnp.sum(jnp.where(sel, rbw, 0.0), axis=1, keepdims=True)
 
-            sf = [jnp.asarray(0.0, dt)] * NSLOTS
+            # Slot validity is encoded as a sentinel: sf[k] == -BIG means
+            # "slot k invalid" (real slot freqs are always finite and >= 0, so
+            # the sentinel never collides) — this removes the separate sv[]
+            # boolean array and every `& sv` term from the scalar chains,
+            # which are the kernel's bottleneck (the VPU sits idle: removing
+            # 12 vector reduces/frame measured flat, scripts/perf_formant_scan).
+            sf = [jnp.asarray(-BIG, dt)] * NSLOTS
             sb = [jnp.asarray(0.0, dt)] * NSLOTS
-            sv = [jnp.asarray(False)] * NSLOTS
             for s in range(min(L, NSLOTS)):
                 sf[s] = jnp.sum(jnp.where(row8 == s, sfcol, 0.0))
                 sb[s] = jnp.sum(jnp.where(row8 == s, sbcol, 0.0))
-                sv[s] = jnp.asarray(True)
 
             # --- Step 3: dedup with moving pointer w (scalar).
             w = jnp.int32(0)
@@ -119,72 +123,75 @@ def _kernel(est_f0_ref, est_b0_ref, rf_hbm, rb_hbm, outf_hbm, outb_hbm,
             for r in range(1, NSLOTS):
                 sw_f = _sel(w, sf[:r])
                 sw_b = _sel(w, sb[:r])
-                same = sv[r] & (sf[r] == sw_f) & (sb[r] == sw_b)
+                valid_r = sf[r] > -BIG
+                same = valid_r & (sf[r] == sw_f) & (sb[r] == sw_b)
                 est_r = ef[min(r, L - 1)]
                 est_w = _sel(jnp.minimum(w, L - 1), ef)
                 closer_r = jnp.abs(sf[r] - est_r) < jnp.abs(sf[r] - est_w)
                 inval_w = same & closer_r
                 inval_r = same & ~closer_r
                 for k in range(r):
-                    sv[k] = jnp.where(inval_w & (w == k), False, sv[k])
-                sv[r] = jnp.where(inval_r, False, sv[r])
+                    sf[k] = jnp.where(inval_w & (w == k), -BIG, sf[k])
+                sf[r] = jnp.where(inval_r, -BIG, sf[r])
                 unassigned = unassigned | same
-                w = jnp.where(inval_w | (~same & sv[r]), r, w)
+                # (~same & valid_r) is unchanged by the inval_r update above:
+                # when inval_r, same is True, so the term is False either way.
+                w = jnp.where(inval_w | (~same & valid_r), r, w)
 
             # --- Step 4: fill empty slots (j >= 6 iterations are no-ops).
             for j in range(min(R, NSLOTS)):
                 pf = jnp.sum(jnp.where(lane == j, rfreq, 0.0))
                 pb = jnp.sum(jnp.where(lane == j, rbw, 0.0))
+                # Invalid slots have sf == -BIG, which never equals pf >= 0 —
+                # no validity guard needed in the containment scan.
                 contains = jnp.asarray(False)
                 for k in range(NSLOTS):
-                    contains = contains | (sv[k] & (sf[k] == pf) & (sb[k] == pb))
+                    contains = contains | ((sf[k] == pf) & (sb[k] == pb))
                 can = unassigned & ~contains
 
-                b1 = can & ~sv[j]
+                b1 = can & (sf[j] == -BIG)
                 sf[j] = jnp.where(b1, pf, sf[j])
                 sb[j] = jnp.where(b1, pb, sb[j])
-                sv[j] = jnp.where(b1, True, sv[j])
                 can = can & ~b1
 
+                # b2/b3 shift slot j's (always-valid here) content into an
+                # empty neighbour, then claim slot j for the probe.
                 if j > 0:
-                    b2 = can & ~sv[j - 1]
+                    b2 = can & (sf[j - 1] == -BIG)
                     sf[j - 1] = jnp.where(b2, sf[j], sf[j - 1])
                     sb[j - 1] = jnp.where(b2, sb[j], sb[j - 1])
-                    sv[j - 1] = jnp.where(b2, sv[j], sv[j - 1])
                     sf[j] = jnp.where(b2, pf, sf[j])
                     sb[j] = jnp.where(b2, pb, sb[j])
-                    sv[j] = jnp.where(b2, True, sv[j])
                     can = can & ~b2
 
                 if j + 1 < NSLOTS:
-                    b3 = can & ~sv[j + 1]
+                    b3 = can & (sf[j + 1] == -BIG)
                     sf[j + 1] = jnp.where(b3, sf[j], sf[j + 1])
                     sb[j + 1] = jnp.where(b3, sb[j], sb[j + 1])
-                    sv[j + 1] = jnp.where(b3, sv[j], sv[j + 1])
                     sf[j] = jnp.where(b3, pf, sf[j])
                     sb[j] = jnp.where(b3, pb, sb[j])
-                    sv[j] = jnp.where(b3, True, sv[j])
 
             # --- Step 5: stable insertion sort, invalid first then by freq.
-            key = [jnp.where(sv[i], sf[i], -BIG) for i in range(NSLOTS)]
+            # sf IS the sort key (invalid slots already hold -BIG), so only
+            # (sf, sb) swap — validity and the write-back predicate both
+            # read off sf afterwards.
             for i in range(1, NSLOTS):
                 for j in range(i, 0, -1):
-                    swap = key[j - 1] > key[j]
+                    swap = sf[j - 1] > sf[j]
 
                     def sw(arr):
                         a, b = arr[j - 1], arr[j]
                         arr[j - 1] = jnp.where(swap, b, a)
                         arr[j] = jnp.where(swap, a, b)
 
-                    sw(key)
                     sw(sf)
                     sw(sb)
-                    sw(sv)
 
             # --- Write-back: winners (valid, freq>0) into leading estimates.
+            # sf[p] > 0 implies validity (invalid slots hold -BIG).
             count = jnp.int32(0)
             for p in range(NSLOTS):
-                is_w = sv[p] & (sf[p] > 0.0)
+                is_w = sf[p] > 0.0
                 for i in range(L):
                     upd = is_w & (count == i)
                     ef[i] = jnp.where(upd, sf[p], ef[i])
@@ -201,22 +208,27 @@ def _kernel(est_f0_ref, est_b0_ref, rf_hbm, rb_hbm, outf_hbm, outb_hbm,
             ob_scr[pl.ds(t, 1), :] = out_b
             return tuple(ef) + tuple(eb)
 
-        # Frames beyond F (tail of the last block) still run — their garbage
-        # rows are never copied out thanks to the clamped out-DMA below; but
-        # they must not corrupt the carry.
-        valid_in_block = jnp.minimum(F - blk * TBLK, TBLK)
+        # Frames beyond F (the tail of the last block) still run on the
+        # zero-padded rows. That is safe without any masking: the tail lives
+        # only in the FINAL block, after which the carry is never read again,
+        # and the garbage output rows are sliced off host-side (outf[:F]).
+        if file_len == F:
+            # Single recording: the only file boundary is frame 0, whose
+            # reset to the seed is a no-op (the seed IS the initial carry) —
+            # skip the per-frame mod + 2L selects entirely.
+            est = jax.lax.fori_loop(0, TBLK, frame_step, est)
+        else:
 
-        def guarded(t, est):
-            # Reset the carry to the seed at each file boundary (no-op for a
-            # single file, where the only boundary is frame 0 == the seed).
-            g = blk * TBLK + t
-            at_start = (g % file_len) == 0
-            est = tuple(jnp.where(at_start, e0, e) for e0, e in zip(est0, est))
-            new = frame_step(t, est)
-            keep = t < valid_in_block
-            return tuple(jnp.where(keep, n, o) for n, o in zip(new, est))
+            def guarded(t, est):
+                # Reset the carry to the seed at each file boundary.
+                g = blk * TBLK + t
+                at_start = (g % file_len) == 0
+                est = tuple(
+                    jnp.where(at_start, e0, e) for e0, e in zip(est0, est)
+                )
+                return frame_step(t, est)
 
-        est = jax.lax.fori_loop(0, TBLK, guarded, est)
+            est = jax.lax.fori_loop(0, TBLK, guarded, est)
 
         cp3 = pltpu.make_async_copy(
             of_scr, outf_hbm.at[pl.ds(blk * TBLK, TBLK), :], sems.at[2]
