@@ -144,34 +144,41 @@ def pitch_frames(
         keys = jnp.where(cand, -ix_f, neg_inf)
         _vals, order = jax.lax.top_k(keys, C)
         cand_c = jnp.take_along_axis(cand, order, axis=-1)
+        freq_c = jnp.take_along_axis(freq, order, axis=-1)
     else:
         escaped = jnp.any(cand & ((ix < lag_lo) | (ix > lag_hi))[None, :])
 
         def full_range(_):
             keys = jnp.where(cand, -ix_f, neg_inf)
             order = jax.lax.top_k(keys, C)[1].astype(jnp.int32)
-            return order, jnp.take_along_axis(cand, order, axis=-1)
+            return (
+                jnp.take_along_axis(freq, order, axis=-1),
+                jnp.take_along_axis(cand, order, axis=-1),
+            )
 
         def windowed(_):
             # Rank-compaction: cumsum gives each candidate its output slot;
-            # 32 masked reduces replace a sort (XLA's top_k) entirely.
+            # 32 masked reduces compact freq directly — no sort (XLA top_k)
+            # and no take_along_axis gather (the gather alone measured
+            # ~2.3 ms @5121 frames, scripts/perf_pitch_stages.py s3 vs
+            # s3 nogather). Dead lanes get freq 0; every consumer masks on
+            # cand_c.
             candw = cand[:, w0:w1]
+            freqw = freq[:, w0:w1]
             rank = jnp.cumsum(candw.astype(jnp.int32), axis=-1)
-            colw = jnp.arange(w0, w1, dtype=jnp.int32)[None, :]
             sel = candw & (rank <= C)
-            order = jnp.stack(
+            freq_c = jnp.stack(
                 [
-                    jnp.sum(jnp.where(sel & (rank == c + 1), colw, 0), axis=-1)
+                    jnp.sum(jnp.where(sel & (rank == c + 1), freqw, 0.0), axis=-1)
                     for c in range(C)
                 ],
                 axis=-1,
             )
             nvalid = jnp.minimum(rank[:, -1], C)
             cand_c = jnp.arange(C, dtype=jnp.int32)[None, :] < nvalid[:, None]
-            return order.astype(jnp.int32), cand_c
+            return freq_c, cand_c
 
-        order, cand_c = jax.lax.cond(escaped, full_range, windowed, None)
-    freq_c = jnp.take_along_axis(freq, order, axis=-1)
+        freq_c, cand_c = jax.lax.cond(escaped, full_range, windowed, None)
 
     offset = -bi - 1
     nx = bi - offset  # == 2*bi + 1
