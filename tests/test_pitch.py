@@ -230,3 +230,36 @@ def test_refine_depth_cap_backends_agree():
     f_ref = np.asarray(f_full[..., 0])
     m = (f_cap != 0) & (f_ref != 0)
     np.testing.assert_allclose(f_cap[m], f_ref[m], rtol=1e-3)
+
+
+def test_escaped_lag_fallback_catches_shifted_vertex():
+    """The windowed rank-compaction has an exact full-range fallback
+    (pitch.py lax.cond on `escaped`) for candidates whose lag lies outside
+    the generous [sr/fmax - 64, sr/fmin + 64] window but whose parabolic
+    vertex (periodic.rs:420-425) shifts the frequency into band. A
+    near-degenerate flat peak (tiny d2r) produces exactly that: here a local
+    maximum at lag 1200 (far above lag_hi ~ 946) with dr/d2r = -500 lands at
+    ~63 Hz. The fallback must keep it; the windowed path alone would drop it."""
+    from voxtpu.windows import hanning_lag
+
+    n, sr = 4096, 44100.0
+    hl = np.asarray(hanning_lag(n))
+    s = np.zeros(n, dtype=np.float64)
+    s[0] = 1.0  # normalization anchor (max |ac| at lag 0)
+    # Clean in-band peak at lag 294 -> 150 Hz (zero vertex shift).
+    s[293], s[294], s[295] = 0.8, 0.9, 0.8
+    # Flat escaped peak: dr = 0.5*(c - a) = -0.5, d2r = 2b - (a - c) = 1e-3.
+    s[1199], s[1200], s[1201] = 0.5, 0.5005, -0.5
+    ac = jnp.asarray((s * hl)[None, :])
+
+    freq, strength, valid = pitch_frames(
+        jnp.zeros((1, n)), sr, threshold=0.2, fmin=50.0, fmax=500.0,
+        precomputed_ac=ac,
+    )
+    freq = np.asarray(freq)[0]
+    valid = np.asarray(valid)[0]
+    vf = freq[valid]
+    # Expected vertex: lag 1200 - 500 = 700 -> 63 Hz; Brent refinement stays
+    # within the +-1-lag bracket.
+    assert np.any((vf > 60.0) & (vf < 66.0)), vf
+    assert np.any(np.abs(vf - 150.0) < 2.0), vf
