@@ -299,3 +299,39 @@ def test_viterbi_kernel_matches_jnp():
             )
             np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
             np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_formant_scan_kernel_multiblock_collision_fuzz():
+    """Equivalence fuzz targeting the scan kernel's r3 scalar-trim rewrite:
+    F = 300 spans two full TBLK=128 DMA blocks plus a 44-frame tail (the
+    tail's keep-mask was deleted — garbage tail frames must never corrupt
+    carried state or outputs), and resonances are quantized to a coarse grid
+    so nearest-matches collide constantly, driving the dedup (step 3) and
+    duplicate-fill (step 4) chains the sentinel encoding rewrote. L=6 uses
+    every slot."""
+    from voxtpu.formants import formant_tracker
+
+    rng = np.random.default_rng(11)
+    F, R = 300, 32
+    rf = np.sort(rng.uniform(100, 4000, (F, R)), axis=1)
+    rf = np.round(rf / 200.0) * 200.0  # coarse grid -> frequent collisions
+    rb = np.round(rng.uniform(10, 300, (F, R)) / 50.0) * 50.0
+    for i in range(F):
+        k = rng.integers(2, 9)
+        rf[i, k:] = 0.0
+        rb[i, k:] = 0.0
+    for L, est in [
+        (4, [320.0, 1440.0, 2760.0, 3200.0]),
+        (6, [300.0, 900.0, 1500.0, 2100.0, 2700.0, 3300.0]),
+    ]:
+        est_f = jnp.asarray(est)
+        est_b = jnp.ones(L)
+        f1, b1 = formant_tracker(
+            jnp.asarray(rf), jnp.asarray(rb), est_f, est_b, backend="jnp"
+        )
+        f2, b2 = formant_tracker(
+            jnp.asarray(rf), jnp.asarray(rb), est_f, est_b,
+            backend="pallas_interpret",
+        )
+        np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
+        np.testing.assert_array_equal(np.asarray(b2), np.asarray(b1))
