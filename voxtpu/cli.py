@@ -331,22 +331,45 @@ def cmd_corpus(args) -> int:
         config, _ = _build_config(args, sr)
         pending.setdefault(config, []).append((path, sr))
 
-    def read_frames(path, config):
-        samples, sr_f = _read(path, dtype)
+    # One-ahead host-read prefetch: WAV decode of file k+1 overlaps file k's
+    # device compute + result fetch (ingest is ~half the end-to-end wall for
+    # long recordings through the tunnel — PERFORMANCE.md long-audio table).
+    # Only the pure-host `_read` runs on the worker thread; all device
+    # dispatch stays on the main thread.
+    from concurrent.futures import ThreadPoolExecutor
+
+    reader = ThreadPoolExecutor(max_workers=1)
+    read_futs: dict = {}
+
+    def start_read(path):
+        if path is not None and path not in read_futs:
+            read_futs[path] = reader.submit(_read, path, dtype)
+
+    def take_read(path):
+        start_read(path)
+        return read_futs.pop(path).result()
+
+    def read_frames(path, config, host=True):
+        samples, sr_f = take_read(path)
         x = _prepare_samples(samples, sr_f, args)
-        return np.asarray(frame_signal(x, config.frame_len, config.hop))
+        fr = frame_signal(x, config.frame_len, config.hop)
+        # The sharded block path pads per-file frame counts host-side; the
+        # serial path keeps frames on device (no (F, n) round trip).
+        return np.asarray(fr) if host else fr
 
     for config, recs in pending.items():
         if n_dev == 1:
-            for path, sr in recs:
+            for i, (path, sr) in enumerate(recs):
+                if i + 1 < len(recs):
+                    start_read(recs[i + 1][0])
                 try:
-                    frames = read_frames(path, config)
+                    frames = read_frames(path, config, host=False)
                 except Exception as e:
                     print(f"{path}: read error, skipping ({type(e).__name__}: {e})",
                           file=sys.stderr)
                     manifest[path] = {"error": f"{type(e).__name__}: {e}"}
                     continue
-                out = analyze_frames(jnp.asarray(frames), config)
+                out = analyze_frames(frames, config)
                 if args.viterbi and config.pitch.enabled:
                     out = _viterbi_post(out, frames, config.pitch.fmax)
                 save(path, {k: np.asarray(v) for k, v in out.items()}, sr, None)
@@ -365,6 +388,9 @@ def cmd_corpus(args) -> int:
             file=sys.stderr,
         )
         for b0 in range(0, len(recs), files_axis):
+            # Prefetch the next block's host reads behind this block's compute.
+            for nxt, _sr in recs[b0 + files_axis : b0 + 2 * files_axis]:
+                start_read(nxt)
             block = []  # read one block's audio at a time (bounded memory)
             for path, sr in recs[b0 : b0 + files_axis]:
                 try:
