@@ -102,6 +102,14 @@ def _read(path: str, dtype):
     return samples, float(wav.sample_rate)
 
 
+def _fetch(out):
+    """Device->host for a feature dict in ONE jax.device_get: the transfers
+    are issued together instead of one ~25 ms tunnel roundtrip per feature."""
+    import jax
+
+    return {k: np.asarray(v) for k, v in jax.device_get(out).items()}
+
+
 def _print_columns(out, hop, sample_rate, file=None):
     """gnuplot-ready columns: time, 4x(freq bw), rms, f0 (main.rs:90-98)."""
     if file is None:
@@ -195,7 +203,7 @@ def cmd_analyze(args) -> int:
     if args.viterbi and config.pitch.enabled:
         out = _viterbi_post(out, frames, args.fmax)
 
-    out = {k: np.asarray(v) for k, v in out.items()}
+    out = _fetch(out)
     # Frame times are in analysis-rate samples (hop is at the analysis rate).
     if args.plot:
         _plot(out, config.hop, config.sample_rate, args.plot)
@@ -372,7 +380,7 @@ def cmd_corpus(args) -> int:
                 out = analyze_frames(frames, config)
                 if args.viterbi and config.pitch.enabled:
                     out = _viterbi_post(out, frames, config.pitch.fmax)
-                save(path, {k: np.asarray(v) for k, v in out.items()}, sr, None)
+                save(path, _fetch(out), sr, None)
             continue
 
         from voxtpu.dist import make_mesh, sharded_analyze
@@ -409,7 +417,7 @@ def cmd_corpus(args) -> int:
             for i, (_p, _sr, frames) in enumerate(block):
                 batch[i, : frames.shape[0]] = frames
             out = sharded_analyze(jnp.asarray(batch), config, mesh)
-            out = {k: np.asarray(v) for k, v in out.items()}
+            out = _fetch(out)
             for i, (path, sr, frames) in enumerate(block):
                 F = frames.shape[0]
                 file_out = {k: v[i, :F] for k, v in out.items()}
