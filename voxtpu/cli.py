@@ -402,7 +402,7 @@ def cmd_corpus(args) -> int:
             block = []  # read one block's audio at a time (bounded memory)
             for path, sr in recs[b0 : b0 + files_axis]:
                 try:
-                    block.append((path, sr, read_frames(path, config)))
+                    block.append((path, sr, read_frames(path, config, host=False)))
                 except Exception as e:
                     print(f"{path}: read error, skipping ({type(e).__name__}: {e})",
                           file=sys.stderr)
@@ -412,11 +412,16 @@ def cmd_corpus(args) -> int:
             Fmax = max(r[2].shape[0] for r in block)
             # Zero-pad each file to the block's frame count (an exact no-op
             # for the formant carry; padded outputs are trimmed per file) and
-            # the block to the full files axis.
-            batch = np.zeros((files_axis, Fmax, config.frame_len), dtype=dtype)
-            for i, (_p, _sr, frames) in enumerate(block):
-                batch[i, : frames.shape[0]] = frames
-            out = sharded_analyze(jnp.asarray(batch), config, mesh)
+            # the block to the full files axis — all on device: the framed
+            # tensor is ~4x the raw audio and never needs to visit the host.
+            padded = [
+                jnp.pad(fr, [(0, Fmax - fr.shape[0]), (0, 0)])
+                for _p, _sr, fr in block
+            ]
+            padded += [
+                jnp.zeros((Fmax, config.frame_len), dtype=padded[0].dtype)
+            ] * (files_axis - len(padded))
+            out = sharded_analyze(jnp.stack(padded), config, mesh)
             out = _fetch(out)
             for i, (path, sr, frames) in enumerate(block):
                 F = frames.shape[0]
