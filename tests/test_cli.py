@@ -204,3 +204,25 @@ def test_corpus_resume_respects_format(tmp_path):
     assert (outdir / "short_sample.parquet").exists()
     manifest = json.loads((outdir / "manifest.json").read_text())
     assert manifest[WAV]["output"].endswith(".parquet")
+
+
+def test_bucket_frames_outputs_match_unbucketed(tmp_path):
+    """--bucket-frames pads the frame axis to bound compiled-shape count
+    across a heterogeneous corpus; outputs must match the unbucketed run
+    (exactly up to the documented batch-size FFT-plan class, PARITY
+    deviation #5) and have the true frame count."""
+    wav = os.path.join(FIXTURES, "sample-two_vowels.wav")
+    a, b = tmp_path / "bucketed.npz", tmp_path / "plain.npz"
+    assert main(["analyze", wav, "--fmax", "500", "--bucket-frames", "64",
+                 "-o", str(a)]) == 0
+    assert main(["analyze", wav, "--fmax", "500", "--bucket-frames", "0",
+                 "-o", str(b)]) == 0
+    xa, xb = np.load(a), np.load(b)
+    assert set(xa.files) == set(xb.files)
+    for k in xb.files:
+        assert xa[k].shape == xb[k].shape, k
+        if xb[k].dtype.kind == "f":
+            np.testing.assert_allclose(xa[k], xb[k], rtol=1e-5, atol=1e-5,
+                                       err_msg=k)
+        else:
+            np.testing.assert_array_equal(xa[k], xb[k], err_msg=k)

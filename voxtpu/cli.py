@@ -102,6 +102,26 @@ def _read(path: str, dtype):
     return samples, float(wav.sample_rate)
 
 
+def _bucket(frames, bucket):
+    """Zero-pad the frame axis to a multiple of `bucket` (0 = no-op).
+
+    Returns (padded_frames, real_frame_count). All stages are frame-row-
+    independent (the McCandless carry only flows FORWARD into the discarded
+    tail), and callers trim to the real count before any whole-recording
+    pass (Viterbi). Measured on the TPU path: bit-identical outputs except
+    MFCC's f32-ulp wiggle (XLA matmul scheduling varies with batch shape).
+    Two prerequisites live elsewhere: degenerate frames must not inject NaN
+    lag rows (voxtpu/pitch.py zeroes them), and the refine kernel
+    canonicalizes dead-lane content (ops/refine_pallas.py)."""
+    F = frames.shape[0]
+    if not bucket or F % bucket == 0:
+        return frames, F
+    import jax.numpy as jnp
+
+    Fp = (F + bucket - 1) // bucket * bucket
+    return jnp.pad(frames, [(0, Fp - F), (0, 0)]), F
+
+
 def _fetch(out):
     """Device->host for a feature dict in ONE jax.device_get: the transfers
     are issued together instead of one ~25 ms tunnel roundtrip per feature."""
@@ -198,7 +218,9 @@ def cmd_analyze(args) -> int:
 
     x = _prepare_samples(samples, sr, args)
     frames = frame_signal(x, config.frame_len, config.hop)
-    out = analyze_frames(frames, config)
+    fpad, F = _bucket(frames, args.bucket_frames)
+    out = analyze_frames(fpad, config)
+    out = {k: v[:F] for k, v in out.items()}
 
     if args.viterbi and config.pitch.enabled:
         out = _viterbi_post(out, frames, args.fmax)
@@ -377,7 +399,9 @@ def cmd_corpus(args) -> int:
                           file=sys.stderr)
                     manifest[path] = {"error": f"{type(e).__name__}: {e}"}
                     continue
-                out = analyze_frames(frames, config)
+                fpad, F = _bucket(frames, args.bucket_frames)
+                out = analyze_frames(fpad, config)
+                out = {k: v[:F] for k, v in out.items()}
                 if args.viterbi and config.pitch.enabled:
                     out = _viterbi_post(out, frames, config.pitch.fmax)
                 save(path, _fetch(out), sr, None)
@@ -410,6 +434,9 @@ def cmd_corpus(args) -> int:
             if not block:
                 continue
             Fmax = max(r[2].shape[0] for r in block)
+            if args.bucket_frames:
+                # One compiled shape per bucket across the whole corpus.
+                Fmax = -(-Fmax // args.bucket_frames) * args.bucket_frames
             # Zero-pad each file to the block's frame count (an exact no-op
             # for the formant carry; padded outputs are trimmed per file) and
             # the block to the full files axis — all on device: the framed
@@ -497,6 +524,17 @@ def main(argv=None) -> int:
             "--refine-depth", type=int, default=None, metavar="N",
             help="cap the sinc refine depth (reference: 1200; 70 measured "
             "f0-bit-identical on real speech — see PERFORMANCE.md)",
+        )
+        sp.add_argument(
+            "--bucket-frames", type=int, default=1024, metavar="N",
+            help="pad each file's frame count to a multiple of N and trim "
+            "the outputs, so a heterogeneous corpus compiles O(1) program "
+            "shapes instead of one per distinct file length (full-pipeline "
+            "compiles take minutes on TPU). On the TPU path, pitch/formants/"
+            "rms/status are bit-identical to the unpadded run; MFCC agrees "
+            "to f32 ulps (XLA's matmul pass structure varies with the batch "
+            "shape) and the CPU FFT path to the batched-plan class (PARITY "
+            "deviation 5). 0 disables.",
         )
         sp.add_argument("--f64", action="store_true", help="float64 (CPU parity mode)")
 

@@ -59,10 +59,14 @@ def dct_matrix(n: int) -> np.ndarray:
 
 
 def dct(x: jax.Array) -> jax.Array:
-    """DCT-II along the last axis (matmul form)."""
+    """DCT-II along the last axis (matmul form).
+
+    HIGHEST precision: true-f32 results on TPU (the default 1-pass bf16
+    matmul costs ~1e-2 absolute in the cepstra), and the result is then
+    independent of the batch shape (XLA's bf16 pass structure is not)."""
     x = jnp.asarray(x)
     mat = jnp.asarray(dct_matrix(x.shape[-1]), dtype=x.dtype)
-    return x @ mat.T
+    return jnp.matmul(x, mat.T, precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.lru_cache(maxsize=32)
@@ -151,7 +155,11 @@ def mfcc(
     else:
         half_pow = half_power
     half_mag = jnp.sqrt(half_pow)
-    energies = half_pow @ wp + half_mag @ wm
+    # HIGHEST precision (see dct): f32-true filterbank energies, stable
+    # across batch shapes.
+    energies = jnp.matmul(
+        half_pow, wp, precision=jax.lax.Precision.HIGHEST
+    ) + jnp.matmul(half_mag, wm, precision=jax.lax.Precision.HIGHEST)
 
     if exact:
         # log10(e).max(1e-10): -inf (from e == 0) and all small energies clamp

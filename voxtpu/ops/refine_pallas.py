@@ -326,8 +326,6 @@ def brent_refine_pallas(
     else:
         ybuf = jnp.pad(y, [(0, 0), (0, P - L)])
 
-    K = jnp.floor(x0).astype(jnp.int32)
-
     # Depth homogenization: within each 8-frame group, sort candidate rows by
     # their lag (the per-candidate tap count is ~2*lag). A frame's candidates
     # ladder up to ~sr/fmin, so unsorted blocks always pay the max depth;
@@ -340,7 +338,17 @@ def brent_refine_pallas(
         padr = [(0, Bpad8 - B), (0, 0)]
         x0 = jnp.pad(x0, padr, constant_values=1.0)
         valid = jnp.pad(valid, padr, constant_values=False)
-        K = jnp.pad(K, padr, constant_values=1)
+    # Canonical dead-lane content: every invalid lane carries the same
+    # in-range, non-integer probe (== voxtpu.pitch's dead-lane fill,
+    # bi + 0.5 = -offset - 0.5) regardless of origin — unused candidate
+    # capacity, this function's own Cp/Bpad8 grid padding, or zero-padded
+    # batch frames. Mixed valid/invalid boundary blocks then have union tap
+    # windows — and therefore the chunked f32 summation order of the VALID
+    # lanes — that depend only on the valid candidates, making outputs
+    # invariant to batch composition (the CLI's --bucket-frames padding is
+    # bit-exact on the TPU path because of this).
+    x0 = jnp.where(valid, x0, jnp.asarray(-offset - 0.5, x0.dtype))
+    K = jnp.floor(x0).astype(jnp.int32)
     Rp = Bpad8 * Cp
     rowidx = jnp.broadcast_to(
         (jnp.arange(Bpad8) % 8)[:, None].astype(jnp.int32), (Bpad8, Cp)

@@ -108,6 +108,14 @@ def pitch_frames(
     self_lag = autocorrelate(frames, n) if precomputed_ac is None else precomputed_ac
     self_lag = self_lag / jnp.max(jnp.abs(self_lag), axis=-1, keepdims=True)
     self_lag = self_lag / jnp.asarray(hanning_lag(n), dtype=dt)
+    # Degenerate (all-zero) frames normalize to 0/0 = NaN. The reference's
+    # NaN lag row yields no band-passed maxima -> the unvoiced candidate
+    # wins; zeroing the row reaches the same endpoint WITHOUT NaN in the
+    # buffer — which matters batched: the refine kernel's 8-frame buffer
+    # blocks select lanes' rows with a 0/1 matmul, and 0 * NaN = NaN would
+    # poison valid neighbours (e.g. real frames sharing a block with
+    # zero-padded batch frames).
+    self_lag = jnp.where(jnp.isfinite(self_lag), self_lag, jnp.zeros_like(self_lag))
     self_lag = jnp.concatenate([self_lag, jnp.zeros_like(self_lag)], axis=-1)
 
     bi = int(math.floor(INTERPOLATION_DEPTH * n))  # brent_ixmax
