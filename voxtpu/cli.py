@@ -379,13 +379,12 @@ def cmd_corpus(args) -> int:
         start_read(path)
         return read_futs.pop(path).result()
 
-    def read_frames(path, config, host=True):
+    def read_frames(path, config):
         samples, sr_f = take_read(path)
         x = _prepare_samples(samples, sr_f, args)
-        fr = frame_signal(x, config.frame_len, config.hop)
-        # The sharded block path pads per-file frame counts host-side; the
-        # serial path keeps frames on device (no (F, n) round trip).
-        return np.asarray(fr) if host else fr
+        # Frames stay on device: the framed tensor is ~4x the raw audio and
+        # both the serial and block paths consume it there.
+        return frame_signal(x, config.frame_len, config.hop)
 
     for config, recs in pending.items():
         if n_dev == 1:
@@ -393,7 +392,7 @@ def cmd_corpus(args) -> int:
                 if i + 1 < len(recs):
                     start_read(recs[i + 1][0])
                 try:
-                    frames = read_frames(path, config, host=False)
+                    frames = read_frames(path, config)
                 except Exception as e:
                     print(f"{path}: read error, skipping ({type(e).__name__}: {e})",
                           file=sys.stderr)
@@ -426,7 +425,7 @@ def cmd_corpus(args) -> int:
             block = []  # read one block's audio at a time (bounded memory)
             for path, sr in recs[b0 : b0 + files_axis]:
                 try:
-                    block.append((path, sr, read_frames(path, config, host=False)))
+                    block.append((path, sr, read_frames(path, config)))
                 except Exception as e:
                     print(f"{path}: read error, skipping ({type(e).__name__}: {e})",
                           file=sys.stderr)
