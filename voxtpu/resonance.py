@@ -64,20 +64,17 @@ def sort_and_pack_resonances(
     back. Returns (freq, bw) of shape (..., capacity).
     """
     n = freq.shape[-1]
-    # Stable pack: valid first, preserving root order (the reference appends
-    # in root iteration order before sorting).
-    order = jnp.argsort(jnp.where(valid, 0, 1), axis=-1, stable=True)
-    freq_p = jnp.take_along_axis(freq, order, axis=-1)
-    bw_p = jnp.take_along_axis(bw, order, axis=-1)
-    valid_p = jnp.take_along_axis(valid, order, axis=-1)
-
-    # Sort the valid prefix by frequency (invalid -> +inf keeps them at back,
-    # then restore zeros).
-    key = jnp.where(valid_p, freq_p, jnp.inf)
-    order2 = jnp.argsort(key, axis=-1, stable=True)
-    freq_s = jnp.take_along_axis(freq_p, order2, axis=-1)
-    bw_s = jnp.take_along_axis(bw_p, order2, axis=-1)
-    valid_s = jnp.take_along_axis(valid_p, order2, axis=-1)
+    # ONE variadic stable sort replaces the reference's two phases (pack
+    # valid-first in root order, lib.rs:94-105, then sort the prefix by
+    # frequency, lib.rs:106-111): key = freq for valid, +inf for invalid
+    # gives the identical final order — valid ascending by frequency with
+    # ties in root order, invalid at the back (zeroed below either way).
+    # Payloads ride the sort network, so no argsort + take_along_axis
+    # gathers (TPU gathers serialize on the scalar unit).
+    key = jnp.where(valid, freq, jnp.inf)
+    _key, freq_s, bw_s, valid_s = jax.lax.sort(
+        (key, freq, bw, valid), dimension=-1, is_stable=True, num_keys=1
+    )
     freq_s = jnp.where(valid_s, freq_s, 0.0)
     bw_s = jnp.where(valid_s, bw_s, 0.0)
 
