@@ -226,3 +226,22 @@ def test_bucket_frames_outputs_match_unbucketed(tmp_path):
                                        err_msg=k)
         else:
             np.testing.assert_array_equal(xa[k], xb[k], err_msg=k)
+
+
+def test_corpus_skips_corrupt_file(tmp_path, capsys):
+    """A corrupt WAV in a corpus must not abort the run: the good files are
+    processed, the manifest records the error, and the exit code is 0."""
+    wavdir = tmp_path / "wavs"
+    wavdir.mkdir()
+    _write_sine_wav(wavdir / "good.wav", 200.0, seconds=0.4)
+    (wavdir / "bad.wav").write_bytes(b"RIFFxxxxWAVEfmt corrupted!!")
+    outdir = tmp_path / "out"
+    rc = main(["corpus", str(wavdir / "*.wav"), "-o", str(outdir), "--f64"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "read error" in err or "skipping" in err, err
+    manifest = json.loads((outdir / "manifest.json").read_text())
+    assert manifest[str(wavdir / "good.wav")]["frames"] > 0
+    assert "error" in manifest[str(wavdir / "bad.wav")]
+    assert (outdir / "good.npz").exists()
+    assert not (outdir / "bad.npz").exists()
