@@ -101,6 +101,46 @@ def main():
         times.append(time.perf_counter() - t0)
     med = float(np.median(times))
 
+    # --- companion measurements (VERDICT r3 #5): the headline blends ~26 ms
+    # of fixed axon-tunnel dispatch+fetch into every run; recording the
+    # compute separately keeps round-over-round comparisons legible.
+
+    # Tunnel floor: a near-zero-compute dispatch + one scalar fetch.
+    tiny = jax.jit(lambda s: s + 1.0)
+    seed = jax.device_put(jnp.float32(0.0))
+    float(np.asarray(tiny(seed)))  # compile + warm
+    floor_times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(np.asarray(tiny(seed)))
+        floor_times.append(time.perf_counter() - t0)
+    tunnel_floor_ms = float(np.median(floor_times)) * 1e3
+
+    # Sustained (streaming): K data-tied pipeline invocations inside ONE jit,
+    # one checksum fetch — the dispatch+fetch amortizes to ~nothing, which is
+    # what a local-PJRT deployment (or a streaming consumer) sees. The
+    # 1e-36*carry tie is f32-exact absorption XLA cannot fold (0.0*carry is
+    # algebraically foldable and reads as the tunnel floor — CLAUDE.md).
+    K = 8
+
+    def chained(f):
+        def body(c, _):
+            return checksummed(f + 1e-36 * c).sum(), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        return c
+
+    cfn = jax.jit(chained)
+    float(np.asarray(cfn(frames)))  # compile + warm
+    chain_times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(np.asarray(cfn(frames)))
+        chain_times.append(time.perf_counter() - t0)
+    chain_med = float(np.median(chain_times))
+    device_ms = chain_med / K * 1e3  # per-run device time, fetch amortized
+    sustained_xrt = audio_seconds * K / chain_med
+
     xrt = audio_seconds / med
     baseline_xrt = 0.0929 / 0.01319776  # reference bench_pitch, ~7.04x RT
     result = {
@@ -108,6 +148,10 @@ def main():
         "value": round(xrt, 1),
         "unit": "audio-seconds/sec/chip (x real-time)",
         "vs_baseline": round(xrt / baseline_xrt, 1),
+        "wall_ms": round(med * 1e3, 1),
+        "device_ms": round(device_ms, 1),
+        "sustained_xrt": round(sustained_xrt, 1),
+        "tunnel_floor_ms": round(tunnel_floor_ms, 1),
     }
     print(json.dumps(result))
     return result

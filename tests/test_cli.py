@@ -7,10 +7,22 @@ import pytest
 
 import numpy as np
 
-from voxtpu.cli import main
+from voxtpu.cli import main as cli_main
 
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 WAV = os.path.join(FIXTURES, "short_sample.wav")
+
+
+def main(argv):
+    """cli_main with --bucket-frames 1024 injected as the leading option.
+
+    --f64 now defaults bucketing OFF (parity mode must not opt into the
+    documented batched-FFT-plan deviation silently — ADVICE r3), but the
+    cache-less CPU suite measurably NEEDS the one-compiled-shape collapse
+    (CLAUDE.md: test_cli 5:11 bucketed vs 9:15 not). Inject the old default
+    up front; any explicit --bucket-frames later in argv still wins
+    (argparse last-occurrence)."""
+    return cli_main([argv[0], "--bucket-frames", "1024"] + argv[1:])
 
 
 def test_analyze_columns(capsys):
@@ -226,6 +238,110 @@ def test_bucket_frames_outputs_match_unbucketed(tmp_path):
                                        err_msg=k)
         else:
             np.testing.assert_array_equal(xa[k], xb[k], err_msg=k)
+
+
+def test_corpus_sharded_bucketed_matches_serial(tmp_path):
+    """VERDICT r3 #4: --sharded + --bucket-frames together — block frame
+    counts round up to the bucket on the mesh, outputs still match the
+    serial unbucketed run per file."""
+    wavdir = tmp_path / "wavs"
+    wavdir.mkdir()
+    for name, f, secs in (("p", 170.0, 0.45), ("q", 230.0, 0.6), ("r", 310.0, 0.52)):
+        _write_sine_wav(wavdir / f"{name}.wav", f, seconds=secs)
+    outdir = tmp_path / "sb"
+    rc = main(["corpus", str(wavdir / "*.wav"), "-o", str(outdir), "--f64",
+               "--sharded", "--bucket-frames", "16", "--no-resume"])
+    assert rc == 0
+    # Serial side also bucketed (bucket-vs-unbucketed equivalence is pinned by
+    # test_bucket_frames_outputs_match_unbucketed): keeps this test to ONE
+    # serial compiled shape on the cache-less CPU suite.
+    outdir2 = tmp_path / "plain"
+    rc = main(["corpus", str(wavdir / "*.wav"), "-o", str(outdir2), "--f64",
+               "--bucket-frames", "16", "--no-resume"])
+    assert rc == 0
+    for name in ("p", "q", "r"):
+        z, z2 = np.load(outdir / f"{name}.npz"), np.load(outdir2 / f"{name}.npz")
+        assert z["rms"].shape == z2["rms"].shape, name
+        for k in ("formant_freqs", "rms", "status"):
+            np.testing.assert_allclose(z[k], z2[k], rtol=1e-9, err_msg=f"{name}:{k}")
+        np.testing.assert_allclose(z["f0"], z2["f0"], rtol=1e-6, err_msg=name)
+
+
+def test_bucket_ladder_targets():
+    """VERDICT r3 #6: small files pad to the measured {64, 256} rungs, not
+    the full top bucket; explicit small buckets behave classically."""
+    from voxtpu.cli import _bucket_target
+
+    assert _bucket_target(5, 1024) == 64
+    assert _bucket_target(64, 1024) == 64
+    assert _bucket_target(65, 1024) == 256
+    assert _bucket_target(279, 1024) == 1024
+    assert _bucket_target(1500, 1024) == 2048
+    assert _bucket_target(40, 16) == 48  # bucket below the rungs: classic
+    assert _bucket_target(40, 0) == 40  # disabled
+    assert _bucket_target(2048, 1024) == 2048  # aligned: no-op
+
+
+def test_bucket_default_is_mode_dependent():
+    """ADVICE r3: --f64 (parity mode) defaults bucketing off; the fast path
+    keeps 1024; an explicit value always wins."""
+    import argparse
+
+    from voxtpu.cli import _resolve_bucket
+
+    ns = argparse.Namespace(bucket_frames=None, f64=True)
+    assert _resolve_bucket(ns) == 0
+    ns = argparse.Namespace(bucket_frames=None, f64=False)
+    assert _resolve_bucket(ns) == 1024
+    ns = argparse.Namespace(bucket_frames=64, f64=True)
+    assert _resolve_bucket(ns) == 64
+    ns = argparse.Namespace(bucket_frames=0, f64=False)
+    assert _resolve_bucket(ns) == 0
+
+
+def _write_stereo_wav(path, f_left, f_right, sr=11025, seconds=0.5):
+    import wave
+
+    t = np.arange(int(sr * seconds)) / sr
+    left = (0.7 * np.sin(2 * np.pi * f_left * t) * 32767).astype("<i2")
+    right = (0.7 * np.sin(2 * np.pi * f_right * t) * 32767).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(np.stack([left, right], axis=1).tobytes())
+
+
+def test_analyze_stereo_channel_flag(tmp_path, capsys):
+    """VERDICT r3 weak #4: stereo input must not be reduced silently, and
+    --channel must actually select the channel (different sine per side)."""
+    wav = tmp_path / "stereo.wav"
+    _write_stereo_wav(wav, 150.0, 250.0)
+
+    def f0_of(extra):
+        out = tmp_path / "f.npz"
+        rc = main(["analyze", str(wav), "-o", str(out), "--f64", "--viterbi",
+                   "--fmin", "100", "--fmax", "400"] + extra)
+        assert rc == 0
+        z = np.load(out)
+        return float(np.median(z["f0"][z["f0"] > 0]))
+
+    f0_default = f0_of([])
+    assert "2-channel input" in capsys.readouterr().err  # the stderr note
+    assert abs(f0_default - 150.0) < 3.0
+    assert abs(f0_of(["--channel", "1"]) - 250.0) < 3.0
+    # mix: both sines present; just needs to run and warn, not pick a winner
+    f0_mix = f0_of(["--channel", "mix"])
+    assert "mixing down" in capsys.readouterr().err
+    assert np.isfinite(f0_mix)
+
+
+def test_analyze_channel_out_of_range(tmp_path, capsys):
+    wav = tmp_path / "stereo.wav"
+    _write_stereo_wav(wav, 150.0, 250.0, seconds=0.3)
+    rc = main(["analyze", str(wav), "--f64", "--channel", "5"])
+    assert rc == 1
+    assert "out of range" in capsys.readouterr().err
 
 
 def test_corpus_skips_corrupt_file(tmp_path, capsys):

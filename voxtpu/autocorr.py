@@ -72,21 +72,23 @@ def power_and_autocorrelate(
             backend = "ct"
         else:
             backend = "fft"
-    elif backend in ("ct_fused", "ct_fused_interpret") and not fused_ok:
+    elif backend.startswith("ct_fused") and not fused_ok:
         backend = "ct" if ct_ok else "fft"
     elif backend == "ct" and not ct_ok:
         backend = "fft"  # half-power even-bin identity needs nfft == 2n
 
-    if backend in ("ct_fused", "ct_fused_interpret"):
+    if backend.startswith("ct_fused"):
         # One Pallas kernel, every stage intermediate VMEM-resident
         # (voxtpu/ops/ct_fused_pallas.py) — same decomposition as "ct" without
-        # the per-pass HBM round-trips.
+        # the per-pass HBM round-trips. "ct_fused_x3" runs the 3-pass bf16
+        # matmul algorithm (A/B harness: scripts/perf_ct_x3.py).
         from voxtpu.ops.ct_fused_pallas import ct_fused_power_ac
 
         shape = x.shape
         xb = x.reshape(-1, n)
         half, ac = ct_fused_power_ac(
-            xb, nfft, interpret=backend == "ct_fused_interpret"
+            xb, nfft, interpret=backend.endswith("interpret"),
+            algorithm="x3" if "x3" in backend else "x6",
         )
         half = half.reshape(shape[:-1] + (n // 2 + 1,))
         ac = ac[:, :n_coeffs].reshape(shape[:-1] + (n_coeffs,))
@@ -155,18 +157,19 @@ def autocorrelate(
             backend = "ct"
         else:
             backend = "fft"
-    elif backend in ("ct_fused", "ct_fused_interpret") and not fused_ok:
+    elif backend.startswith("ct_fused") and not fused_ok:
         backend = "ct" if ct_supported(nfft) else "fft"
     elif backend == "ct" and not ct_supported(nfft):
         backend = "fft"
 
-    if backend in ("ct_fused", "ct_fused_interpret"):
+    if backend.startswith("ct_fused"):
         from voxtpu.ops.ct_fused_pallas import ct_fused_power_ac
 
         shape = x.shape
         xb = x.reshape(-1, n)
         _half, ac = ct_fused_power_ac(
-            xb, nfft, interpret=backend == "ct_fused_interpret"
+            xb, nfft, interpret=backend.endswith("interpret"),
+            algorithm="x3" if "x3" in backend else "x6",
         )
         ac = ac[:, :n_coeffs].reshape(shape[:-1] + (n_coeffs,))
     elif backend == "ct":

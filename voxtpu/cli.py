@@ -84,26 +84,93 @@ def _read_rate(path: str) -> float:
         return float(w.getframerate())
 
 
-def _read(path: str, dtype):
+def _read(path: str, dtype, channel: str = "0"):
+    """Read a WAV as mono float samples: (samples, sample_rate).
+
+    channel: "N" picks channel N, "mix" averages all channels. A multichannel
+    file is never reduced silently (VERDICT r3 weak #4): a stderr note says
+    what was done; an out-of-range index raises."""
+    mix = str(channel).strip().lower() == "mix"
+    idx = 0 if mix else int(channel)
     from voxtpu import native
 
-    if native.available():
+    if native.available() and not mix:
         try:
-            samples, sr, _bits = native.read_wav(path, dtype=dtype)
+            n_ch = native.wav_info(path)[2]
+            if idx >= n_ch:
+                raise IndexError(
+                    f"--channel {idx} out of range: {path} has {n_ch} channel(s)"
+                )
+            samples, sr, _bits = native.read_wav(path, dtype=dtype, channel=idx)
+            if n_ch > 1:
+                print(
+                    f"{path}: {n_ch}-channel input, using channel {idx} "
+                    "(--channel N|mix to change)",
+                    file=sys.stderr,
+                )
             return samples, float(sr)
+        except IndexError:
+            raise
         except Exception:
-            pass
+            pass  # fall through to the pure-Python reader
     from voxtpu.io_wav import read_wav
 
     wav = read_wav(path, dtype=dtype)
     samples = wav.samples
     if samples.ndim > 1:
-        samples = samples[:, 0]
+        n_ch = samples.shape[1]
+        if mix:
+            samples = samples.mean(axis=1, dtype=samples.dtype)
+            note = "mixing down"
+        else:
+            if idx >= n_ch:
+                raise IndexError(
+                    f"--channel {idx} out of range: {path} has {n_ch} channel(s)"
+                )
+            samples = samples[:, idx]
+            note = f"using channel {idx}"
+        print(
+            f"{path}: {n_ch}-channel input, {note} (--channel N|mix to change)",
+            file=sys.stderr,
+        )
+    elif not mix and idx > 0:
+        raise IndexError(f"--channel {idx} out of range: {path} has 1 channel")
     return samples, float(wav.sample_rate)
 
 
+def _resolve_bucket(args) -> int:
+    """--bucket-frames default is mode-dependent (ADVICE r3): bucketing
+    carries a documented numeric deviation (CPU FFT batched-plan class,
+    PARITY deviation 5; MFCC f32-ulp on TPU), so the --f64 parity mode
+    defaults it OFF, while the fast path keeps 1024 (the measured
+    one-compiled-shape-per-corpus win on TPU). An explicit value wins."""
+    if args.bucket_frames is None:
+        return 0 if args.f64 else 1024
+    return args.bucket_frames
+
+
+_LADDER = (64, 256)  # small-file rungs below the top bucket (VERDICT r3 #6)
+
+
+def _bucket_target(F: int, bucket: int) -> int:
+    """Padded frame count for F under the bucket ladder.
+
+    Small files land on the {64, 256} rungs instead of the top bucket —
+    measured on-chip (scripts/perf_bucket_ladder.py, 40-frame file): rung 64
+    24.1 ms vs flat-1024 30.1 ms even through the ~25 ms tunnel; local PJRT
+    saves the full ~16x padded compute. Ladder rungs only engage below the
+    top bucket, so an explicit small --bucket-frames behaves classically.
+    Compiled shapes per config stay O(#rungs + corpus_max/bucket)."""
+    if not bucket or F % bucket == 0:
+        return F
+    for rung in _LADDER:
+        if rung < bucket and F <= rung:
+            return rung
+    return (F + bucket - 1) // bucket * bucket
+
+
 def _bucket(frames, bucket):
-    """Zero-pad the frame axis to a multiple of `bucket` (0 = no-op).
+    """Zero-pad the frame axis to the ladder target (0 = no-op).
 
     Returns (padded_frames, real_frame_count). All stages are frame-row-
     independent (the McCandless carry only flows FORWARD into the discarded
@@ -114,11 +181,11 @@ def _bucket(frames, bucket):
     lag rows (voxtpu/pitch.py zeroes them), and the refine kernel
     canonicalizes dead-lane content (ops/refine_pallas.py)."""
     F = frames.shape[0]
-    if not bucket or F % bucket == 0:
+    Fp = _bucket_target(F, bucket)
+    if Fp == F:
         return frames, F
     import jax.numpy as jnp
 
-    Fp = (F + bucket - 1) // bucket * bucket
     return jnp.pad(frames, [(0, Fp - F), (0, 0)]), F
 
 
@@ -210,7 +277,7 @@ def cmd_analyze(args) -> int:
 
     dtype = np.float64 if args.f64 else np.float32
     try:
-        samples, sr = _read(args.file, dtype)
+        samples, sr = _read(args.file, dtype, args.channel)
     except Exception as e:
         print(f"error: cannot read {args.file}: {type(e).__name__}: {e}", file=sys.stderr)
         return 1
@@ -218,7 +285,7 @@ def cmd_analyze(args) -> int:
 
     x = _prepare_samples(samples, sr, args)
     frames = frame_signal(x, config.frame_len, config.hop)
-    fpad, F = _bucket(frames, args.bucket_frames)
+    fpad, F = _bucket(frames, _resolve_bucket(args))
     out = analyze_frames(fpad, config)
     out = {k: v[:F] for k, v in out.items()}
 
@@ -373,7 +440,7 @@ def cmd_corpus(args) -> int:
 
     def start_read(path):
         if path is not None and path not in read_futs:
-            read_futs[path] = reader.submit(_read, path, dtype)
+            read_futs[path] = reader.submit(_read, path, dtype, args.channel)
 
     def take_read(path):
         start_read(path)
@@ -386,9 +453,14 @@ def cmd_corpus(args) -> int:
         # both the serial and block paths consume it there.
         return frame_signal(x, config.frame_len, config.hop)
 
+    bucket_frames = _resolve_bucket(args)
     for config, recs in pending.items():
         if n_dev == 1:
             for i, (path, sr) in enumerate(recs):
+                # Current item's decode first, THEN the prefetch: the single
+                # worker drains the queue in order, so the reverse would queue
+                # this file's read behind its successor's (ADVICE r3).
+                start_read(path)
                 if i + 1 < len(recs):
                     start_read(recs[i + 1][0])
                 try:
@@ -398,7 +470,7 @@ def cmd_corpus(args) -> int:
                           file=sys.stderr)
                     manifest[path] = {"error": f"{type(e).__name__}: {e}"}
                     continue
-                fpad, F = _bucket(frames, args.bucket_frames)
+                fpad, F = _bucket(frames, bucket_frames)
                 out = analyze_frames(fpad, config)
                 out = {k: v[:F] for k, v in out.items()}
                 if args.viterbi and config.pitch.enabled:
@@ -419,7 +491,10 @@ def cmd_corpus(args) -> int:
             file=sys.stderr,
         )
         for b0 in range(0, len(recs), files_axis):
-            # Prefetch the next block's host reads behind this block's compute.
+            # This block's reads first, then the next block's prefetch (the
+            # single worker drains in submission order — ADVICE r3).
+            for cur, _sr in recs[b0 : b0 + files_axis]:
+                start_read(cur)
             for nxt, _sr in recs[b0 + files_axis : b0 + 2 * files_axis]:
                 start_read(nxt)
             block = []  # read one block's audio at a time (bounded memory)
@@ -433,9 +508,10 @@ def cmd_corpus(args) -> int:
             if not block:
                 continue
             Fmax = max(r[2].shape[0] for r in block)
-            if args.bucket_frames:
-                # One compiled shape per bucket across the whole corpus.
-                Fmax = -(-Fmax // args.bucket_frames) * args.bucket_frames
+            if bucket_frames:
+                # Bounded compiled shapes across the whole corpus (ladder
+                # rungs for small blocks, bucket multiples above).
+                Fmax = _bucket_target(Fmax, bucket_frames)
             # Zero-pad each file to the block's frame count (an exact no-op
             # for the formant carry; padded outputs are trimmed per file) and
             # the block to the full files axis — all on device: the framed
@@ -457,6 +533,7 @@ def cmd_corpus(args) -> int:
                     file_out = {k: np.asarray(v) for k, v in file_out.items()}
                 save(path, file_out, sr, mesh_desc)
 
+    reader.shutdown(wait=False)
     flush_manifest()
     print(f"wrote {len(paths)} feature files to {args.output_dir}", file=sys.stderr)
     return 0
@@ -525,15 +602,24 @@ def main(argv=None) -> int:
             "f0-bit-identical on real speech — see PERFORMANCE.md)",
         )
         sp.add_argument(
-            "--bucket-frames", type=int, default=1024, metavar="N",
+            "--bucket-frames", type=int, default=None, metavar="N",
             help="pad each file's frame count to a multiple of N and trim "
             "the outputs, so a heterogeneous corpus compiles O(1) program "
             "shapes instead of one per distinct file length (full-pipeline "
-            "compiles take minutes on TPU). On the TPU path, pitch/formants/"
-            "rms/status are bit-identical to the unpadded run; MFCC agrees "
-            "to f32 ulps (XLA's matmul pass structure varies with the batch "
-            "shape) and the CPU FFT path to the batched-plan class (PARITY "
-            "deviation 5). 0 disables.",
+            "compiles take minutes on TPU); small files land on the measured "
+            "{64, 256} ladder rungs below N instead of the full N. On the "
+            "TPU path, pitch/formants/rms/status are bit-identical to the "
+            "unpadded run; MFCC agrees to f32 ulps (XLA's matmul pass "
+            "structure varies with the batch shape) and the CPU FFT path to "
+            "the batched-plan class (PARITY deviation 5). 0 disables. "
+            "Default: 1024, but 0 under --f64 (parity mode must not opt "
+            "into a numeric deviation silently).",
+        )
+        sp.add_argument(
+            "--channel", default="0", metavar="N|mix",
+            help="channel of a multichannel input to analyze, or 'mix' to "
+            "average all channels (default: 0, with a stderr note when the "
+            "file is multichannel)",
         )
         sp.add_argument("--f64", action="store_true", help="float64 (CPU parity mode)")
 

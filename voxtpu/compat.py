@@ -65,6 +65,14 @@ class FormantExtractor:
 
     Accepts per-frame resonance lists; the scan runs batched once on
     construction, iteration yields per-frame `[Resonance]` snapshots.
+
+    .. warning:: Each distinct (frame count, resonance capacity) shape traces
+       and compiles a fresh XLA program — minutes per shape on TPU through a
+       remote tunnel. Constructing one extractor per recording is fine;
+       constructing one per *frame* (a natural translation of the reference's
+       iterator idiom) is a recompile trap. For whole-recording work use
+       `voxtpu.formants.find_formants` / `formant_tracker` directly — one
+       compile covers every same-shape recording.
     """
 
     def __init__(self, num_formants: int, resonances, starting_estimates):
@@ -149,7 +157,16 @@ class PitchExtractor:
 def pitch(frame, sample_rate, threshold, local_peak, global_peak, fmin, fmax,
           max_candidates: int = 32):
     """The reference's 6-arg `Pitched::pitch` (periodic.rs:356-358) for one
-    pre-windowed frame: returns [Pitch] sorted by strength descending."""
+    pre-windowed frame: returns [Pitch] sorted by strength descending.
+
+    .. warning:: This is a migration shim, not a hot-loop API. Every distinct
+       frame *length* compiles a fresh B=1 XLA program (minutes on TPU), and
+       calling it per frame serializes one device roundtrip per frame. The
+       reference's `for frame in windower: frame.pitch(...)` loop should
+       migrate to ONE `voxtpu.pitch.pitch_frames(frames, ...)` call on the
+       (F, n) frame batch — one trace, one dispatch, every frame in parallel
+       (see tests/test_compat.py::test_batched_pitch_is_single_trace).
+    """
     freq, strength, valid = pitch_frames(
         jnp.asarray(frame)[None, :], float(sample_rate), threshold=threshold,
         local_peak=local_peak, global_peak=global_peak,

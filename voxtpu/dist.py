@@ -320,13 +320,40 @@ def launch_multiprocess_dryrun(
         )
 
 
-def dryrun_multichip(n_devices: int) -> None:
-    """Compile + run one sharded analysis step on an n-device mesh.
+def default_topologies(n_devices: int) -> list[tuple[int, int]]:
+    """(files, frames) mesh shapes exercised by the dryrun: every
+    factorization of n_devices, plus a 1x2 sub-mesh (fewer devices than
+    available — a deployment reality the full-mesh cases never hit)."""
+    topos = [
+        (f, n_devices // f) for f in range(1, n_devices + 1) if n_devices % f == 0
+    ]
+    if n_devices > 2:
+        topos.append((1, 2))
+    return topos
 
-    Exercises the full feature pipeline (pitch + formants + MFCC + RMS) with
-    both mesh axes populated when possible, on tiny shapes — including
-    multiple files per device (per-file carry isolation) and the exact
-    cross-shard formant hand-off.
+
+def _serial_reference(frames: np.ndarray, config: AnalysisConfig) -> dict:
+    """Per-file serial analyze_frames — the ground truth every topology's
+    exact-mode output must reproduce."""
+    out: dict = {}
+    for i in range(frames.shape[0]):
+        s = analyze_frames(jnp.asarray(frames[i]), config)
+        for k, v in s.items():
+            out.setdefault(k, []).append(np.asarray(v))
+    return {k: np.stack(v) for k, v in out.items()}
+
+
+def dryrun_multichip(n_devices: int, topologies=None) -> None:
+    """Compile + run sharded analysis over a MATRIX of mesh topologies
+    (VERDICT r3 #4 — one 2x4 case is thin evidence for a sharding design).
+
+    For each (files, frames) topology: the full feature pipeline (pitch +
+    Viterbi + formants with the exact cross-shard carry + MFCC + RMS) runs on
+    tiny shapes with (a) multiple files per device row plus one extra —
+    uneven files-per-row, zero-padded exactly as the corpus runner pads, and
+    (b) a frame count NOT divisible by the frames axis (the internal pad
+    path). Exact mode is asserted equal to a per-file serial reference; the
+    halo (approximate) mode must compile + run on the widest mesh.
     """
     # Exercise the multi-host init path (a 1-process no-op cluster) as far as
     # a single host allows — must precede any backend-initializing jax call.
@@ -349,24 +376,52 @@ def dryrun_multichip(n_devices: int) -> None:
                 "XLA_FLAGS=--xla_force_host_platform_device_count="
                 f"{n_devices} (and JAX_PLATFORMS=cpu) before importing jax"
             )
-    devices = jax.devices()[:n_devices]
-    files_axis = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
-    frames_axis = n_devices // files_axis
-    mesh = make_mesh(files_axis, frames_axis, devices)
+    if topologies is None:
+        topologies = default_topologies(n_devices)
 
-    per_shard = 4
-    F = frames_axis * per_shard
-    files = 2 * files_axis  # 2 files per device row: per-file carry isolation
-    frames, config = dryrun_case(files, F)
+    for files_axis, frames_axis in topologies:
+        devices = jax.devices()[: files_axis * frames_axis]
+        mesh = make_mesh(files_axis, frames_axis, devices)
 
-    out = sharded_analyze(jnp.asarray(frames), config, mesh, exact=True)
-    out = jax.tree.map(lambda x: np.asarray(x), out)
-    assert out["f0"].shape == (files, F), out["f0"].shape
-    assert np.all(np.isfinite(out["mfcc"]))
-    # The approximate (halo) mode must compile + run on the same mesh too.
+        per_shard = 4
+        # Uneven F: not a multiple of the frames axis when sharded, so the
+        # internal zero-frame pad + trim path runs.
+        F = frames_axis * per_shard + (3 if frames_axis > 1 else 0)
+        # Uneven files-per-row: one more real file than a multiple of the
+        # files axis; pad with zero files the way the corpus runner does.
+        real_files = files_axis + 1 if files_axis > 1 else 2
+        files = -(-real_files // files_axis) * files_axis
+        frames, config = dryrun_case(real_files, F)
+        padded = np.concatenate(
+            [frames, np.zeros((files - real_files,) + frames.shape[1:], frames.dtype)]
+        )
+
+        out = sharded_analyze(jnp.asarray(padded), config, mesh, exact=True)
+        out = jax.tree.map(lambda x: np.asarray(x), out)
+        assert out["f0"].shape == (files, F), out["f0"].shape
+
+        serial = _serial_reference(frames, config)
+        checked = 0
+        for k in ("f0", "f0_strength", "formant_freqs", "formant_bws", "mfcc",
+                  "rms", "status"):
+            np.testing.assert_allclose(
+                out[k][:real_files], serial[k], rtol=1e-5, atol=1e-5,
+                err_msg=f"{k} @ mesh {files_axis}x{frames_axis}",
+            )
+            checked += 1
+        print(
+            f"dryrun topology ok: mesh={{'files': {files_axis}, 'frames': "
+            f"{frames_axis}}} files={real_files}(+{files - real_files} pad) "
+            f"F={F} features_checked={checked}"
+        )
+
+    # The approximate (halo) mode must compile + run on the widest mesh too.
+    files_axis, frames_axis = max(topologies, key=lambda t: t[1])
+    mesh = make_mesh(files_axis, frames_axis, jax.devices()[: files_axis * frames_axis])
+    frames, config = dryrun_case(files_axis, frames_axis * 4 + 1)
     out2 = sharded_analyze(jnp.asarray(frames), config, mesh, overlap=2, exact=False)
-    assert np.asarray(out2["f0"]).shape == (files, F)
+    assert np.asarray(out2["f0"]).shape == frames.shape[:2]
     print(
-        f"dryrun_multichip ok: mesh={dict(mesh.shape)} f0 shape={out['f0'].shape} "
-        f"status={out['status'].ravel().tolist()}"
+        f"dryrun_multichip ok: {len(topologies)} topologies on {n_devices} "
+        f"devices + halo mode on {files_axis}x{frames_axis}"
     )

@@ -84,6 +84,21 @@ def available() -> bool:
     return load() is not None
 
 
+def wav_info(path: str):
+    """Header-only probe -> (sample_rate, bits, channels, frames_per_channel)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native wavio unavailable (g++ build failed)")
+    sr = ctypes.c_uint32()
+    bits = ctypes.c_uint32()
+    ch = ctypes.c_uint32()
+    n = ctypes.c_uint64()
+    rc = lib.voxtpu_wav_info(path.encode(), sr, bits, ch, n)
+    if rc != 0:
+        raise IOError(f"voxtpu_wav_info failed ({rc}) for {path}")
+    return int(sr.value), int(bits.value), int(ch.value), int(n.value)
+
+
 def read_wav(path: str, dtype=np.float64, channel: int = 0):
     """Native WAV read -> (samples, sample_rate, bits). Raises if unavailable."""
     lib = load()

@@ -45,10 +45,48 @@ FB = 8  # frames per grid cell
 _PREC = jax.lax.Precision.HIGHEST
 
 
+VMEM_BUDGET = 12 * 1024 * 1024  # conservative per-core budget (16 MB VMEM
+# minus Mosaic double-buffering of the grid-streamed blocks and temporaries)
+
+
+def ct_fused_vmem_bytes(n: int, nfft: int, itemsize: int = 4) -> int:
+    """Static VMEM footprint of one grid cell — the workspace-sizer analog of
+    the reference's find_formants_*_work_size (lib.rs:30-36, SURVEY §5).
+
+    Everything is VMEM-resident by design: the input block, the four stage
+    tensors, the trig/selection tables (the w1 and inverse-c tables are
+    O(n^2/8192) — the quadratic term that eventually overflows), and the two
+    output blocks. Live per-f temporaries add ~6 (N1, 128) tiles."""
+    N1 = nfft // N2
+    rows = n // N2
+    L2 = n // N2
+    xt = rows * FB * N2
+    stages = 4 * N1 * FB * N2  # AR, AI, BR, BI
+    tables = (
+        2 * N1 * rows  # w1 cos/sin
+        + 2 * N1 * FB * N2  # pre-tiled twiddles
+        + 2 * N2 * N2  # w2
+        + 2 * N2 * N2  # a
+        + 2 * N1 * N2  # b
+        + 2 * L2 * N1  # c
+        + (N1 // 2) * N1  # esel
+    )
+    outs = FB * L2 * N2 + FB * (N1 // 2) * N2
+    temps = 6 * N1 * N2
+    return (xt + stages + tables + outs + temps) * itemsize
+
+
 def ct_fused_supported(n: int, nfft: int) -> bool:
     """The fused kernel covers the production shape family: nfft == 2n,
-    n a multiple of 128 (frame length 1024, 2048, 4096, ...)."""
-    return nfft == 2 * n and n % N2 == 0 and n >= N2
+    n a multiple of 128 (frame length 1024, 2048, ..., 16384), while the
+    static VMEM footprint fits the budget (frame 32768's ~20 MB does not —
+    callers fall back to the XLA CT chain, voxtpu.autocorr)."""
+    return (
+        nfft == 2 * n
+        and n % N2 == 0
+        and n >= N2
+        and ct_fused_vmem_bytes(n, nfft) <= VMEM_BUDGET
+    )
 
 
 def _round_up(x: int, m: int) -> int:
@@ -86,10 +124,28 @@ def _tables_np(nfft: int, n: int):
 
 
 def _kernel(xt_ref, c1t, s1t, twc, tws, c2, s2, ca, sa, cb, sb, cct, sct,
-            esel, ac_ref, pe_ref, *, nfft: int):
+            esel, ac_ref, pe_ref, *, nfft: int, algorithm: str = "x6"):
     dt = xt_ref.dtype
 
     def dot(a, b):
+        if algorithm == "x3":
+            # BF16_BF16_F32_X3 by hand (Mosaic's dot_general takes only a
+            # Precision, not a DotAlgorithm): split each f32 operand into
+            # bf16 hi + bf16 lo = bf16(x - hi) and take the three largest
+            # cross terms — 3 MXU passes instead of HIGHEST's 6, dropping
+            # only lo*lo (~2^-32 relative). Error vs f64 measured in
+            # scripts/perf_ct_x3.py.
+            ah = a.astype(jnp.bfloat16)
+            al = (a - ah.astype(dt)).astype(jnp.bfloat16)
+            bh = b.astype(jnp.bfloat16)
+            bl = (b - bh.astype(dt)).astype(jnp.bfloat16)
+
+            def d(p, q):
+                return jax.lax.dot_general(
+                    p, q, (((1,), (0,)), ((), ())), preferred_element_type=dt
+                )
+
+            return d(ah, bh) + d(ah, bl) + d(al, bh)
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())),
             preferred_element_type=dt, precision=_PREC,
@@ -127,9 +183,9 @@ def _kernel(xt_ref, c1t, s1t, twc, tws, c2, s2, ca, sa, cb, sb, cct, sct,
         ac_ref[f] = (acU - acV) * inv_n
 
 
-@functools.partial(jax.jit, static_argnames=("nfft", "interpret"))
+@functools.partial(jax.jit, static_argnames=("nfft", "interpret", "algorithm"))
 def ct_fused_power_ac(
-    x: jax.Array, nfft: int, interpret: bool = False
+    x: jax.Array, nfft: int, interpret: bool = False, algorithm: str = "x6"
 ) -> tuple[jax.Array, jax.Array]:
     """(B, n) frames -> (half_power (B, n//2+1), ac (B, n)), one fused kernel.
 
@@ -137,6 +193,10 @@ def ct_fused_power_ac(
     first n natural-order lags of irfft(|rfft(x, 2n)|^2) — identical
     semantics to the XLA CT chain / rfft+irfft (quirk correction stays in
     voxtpu.autocorr).
+
+    algorithm: "x6" (default — HIGHEST precision, 6 bf16 MXU passes per f32
+    matmul) or "x3" (hand-rolled BF16_BF16_F32_X3, 3 passes — the VERDICT r3
+    #1 candidate; accuracy/speed A/B in scripts/perf_ct_x3.py).
     """
     B, n = x.shape
     if not ct_fused_supported(n, nfft):
@@ -160,7 +220,7 @@ def ct_fused_power_ac(
         for t in tabs
     ]
     ac3, pe = pl.pallas_call(
-        functools.partial(_kernel, nfft=nfft),
+        functools.partial(_kernel, nfft=nfft, algorithm=algorithm),
         grid=grid,
         in_specs=[
             pl.BlockSpec((rows, FB * N2), lambda i: (0, i), memory_space=pltpu.VMEM),
