@@ -193,6 +193,33 @@ def main():
         cand_c = jnp.arange(C, dtype=jnp.int32)[None, :] < nvalid[:, None]
         return sl, freq_c, cand_c
 
+    def s2_kernel(fr):  # s1+s2 as the fused pitch-pre Pallas kernel
+        # (ops/pitch_pre_pallas.py, VERDICT r3 #9) — the r4 production path.
+        from voxtpu.autocorr import power_and_autocorrelate
+        from voxtpu.ops.pitch_pre_pallas import pitch_pre_pallas
+
+        _, ac = power_and_autocorrelate(fr, n)
+        sl, freq, cand = pitch_pre_pallas(
+            ac, hanning_lag(n), n, bi, sr, fmin, fmax
+        )
+        return sl, freq[:, 1 : bi - 1], cand[:, 1 : bi - 1]
+
+    def s3_kernel(fr):  # kernel pre-stage + the production rank compaction
+        sl, freq, cand = s2_kernel(fr)
+        lag_lo = max(int(math.floor(sr / fmax)) - 64, 1)
+        lag_hi = min(int(math.ceil(sr / fmin)) + 64, bi - 2)
+        w0, w1 = lag_lo - 1, lag_hi
+        candw = cand[:, w0:w1]
+        freqw = freq[:, w0:w1]
+        rank = jnp.cumsum(candw.astype(jnp.int32), axis=-1)
+        sel = candw & (rank <= C)
+        freq_c = jnp.stack(
+            [jnp.sum(jnp.where(sel & (rank == c + 1), freqw, 0.0), axis=-1)
+             for c in range(C)], axis=-1)
+        nvalid = jnp.minimum(rank[:, -1], C)
+        cand_c = jnp.arange(C, dtype=jnp.int32)[None, :] < nvalid[:, None]
+        return sl, freq_c, cand_c
+
     def scalar(fn):
         def g(fr):
             out = fn(fr)
@@ -200,8 +227,9 @@ def main():
             return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
         return g
 
-    for name, fn in [("s1 ac", s1), ("s2 maxima", s2), ("s3 compact", s3),
-                     ("s3 nogather", s3_nogather),
+    for name, fn in [("s1 ac", s1), ("s2 maxima", s2), ("s2 kernel", s2_kernel),
+                     ("s3 compact", s3),
+                     ("s3 nogather", s3_nogather), ("s3 kernel", s3_kernel),
                      ("s4 strength", s4), ("s5 refine", s5),
                      ("s6 fused s+r", s6),
                      ("s7 argsort", post_argsort), ("s7 laxsort", post_laxsort)]:

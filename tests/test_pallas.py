@@ -335,3 +335,50 @@ def test_formant_scan_kernel_multiblock_collision_fuzz():
         )
         np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
         np.testing.assert_array_equal(np.asarray(b2), np.asarray(b1))
+
+
+def test_pitch_pre_kernel_bitexact_vs_jitted_jnp_block():
+    """The fused pitch pre-stage (ops/pitch_pre_pallas.py, VERDICT r3 #9) is
+    bit-identical to the production jnp block UNDER JIT — XLA's algebraic
+    simplifier folds the two divisions (/max, /lagwindow) into one, and the
+    kernel matches that folded arithmetic (an eager jnp run differs by f32
+    ulps; parity is defined by the jitted pipeline)."""
+    import jax
+
+    from voxtpu.autocorr import autocorrelate
+    from voxtpu.ops.pitch_pre_pallas import pitch_pre_pallas
+    from voxtpu.windows import hanning_lag
+
+    rng = np.random.default_rng(5)
+    n, sr, fmin, fmax = 1024, 11025.0, 60.0, 500.0
+    bi = n // 2
+    x = rng.standard_normal((9, n)).astype(np.float32)
+    x[3] = 0.0  # degenerate frame: NaN row must zero, not poison
+    ac = autocorrelate(jnp.asarray(x), n)
+    hl = np.asarray(hanning_lag(n), np.float32)
+
+    @jax.jit
+    def jnp_block(ac):
+        sl = ac / jnp.max(jnp.abs(ac), axis=-1, keepdims=True)
+        sl = sl / jnp.asarray(hl)
+        sl = jnp.where(jnp.isfinite(sl), sl, jnp.zeros_like(sl))
+        sl = jnp.concatenate([sl, jnp.zeros_like(sl)], axis=-1)
+        seg = sl[:, :bi]
+        is_max = (seg[:, :-2] < seg[:, 1:-1]) & (seg[:, 2:] < seg[:, 1:-1])
+        ix = jnp.arange(1, bi - 1)
+        peak, rev, fwd = seg[:, 1:-1], seg[:, :-2], seg[:, 2:]
+        dr = 0.5 * (fwd - rev)
+        d2r = 2.0 * peak - (rev - fwd)
+        freq = sr / (ix.astype(jnp.float32)[None, :] + dr / d2r)
+        cand = is_max & ((freq == 0.0) | ((freq > fmin) & (freq < fmax)))
+        return sl, jnp.where(cand, freq, 0.0), cand
+
+    sl1, f1, c1 = jnp_block(ac)
+    sl2, f2, c2 = pitch_pre_pallas(
+        ac, hl, n, bi, sr, fmin, fmax, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(sl1), np.asarray(sl2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2)[:, 1 : bi - 1])
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2)[:, 1 : bi - 1])
+    # lag 0 and the last lag are never candidates (centers are 1..bi-2)
+    assert not np.asarray(c2)[:, 0].any() and not np.asarray(c2)[:, bi - 1].any()

