@@ -1,0 +1,115 @@
+"""Serving-path latency/throughput on the real chip.
+
+Embeds VoxServer in-process (HTTP over localhost), posts the bundled
+two-vowels recording (2.83 s @ 44.1 kHz), and measures:
+
+- cold first-request time (pipeline compile for the request's bucket shape),
+- warm single-request latency (median of 9) — decode + frame + one (1,F,n)
+  dispatch + JSON encode, end to end through HTTP,
+- warm concurrent throughput: 8 simultaneous requests coalescing into one
+  (8,F,n) micro-batch dispatch.
+
+Run: PYTHONPATH=. python scripts/perf_serve.py
+"""
+
+import http.client
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from voxtpu.serve import ServeConfig, VoxServer
+
+    srv = VoxServer(
+        ServeConfig(host="127.0.0.1", port=0, window_ms=3.0, max_batch=8, bucket=1024)
+    )
+    host, port = srv.start()
+    wav_path = os.path.join("tests", "fixtures", "sample-two_vowels.wav")
+    with open(wav_path, "rb") as f:
+        body = f.read()
+    audio_s = 124928 / 44100.0
+
+    def post(q=""):
+        conn = http.client.HTTPConnection(host, port, timeout=1800)
+        conn.request("POST", "/analyze" + (f"?{q}" if q else ""), body=body)
+        r = conn.getresponse()
+        data = r.read()
+        conn.close()
+        assert r.status == 200, data[:500]
+        return data
+
+    t0 = time.perf_counter()
+    post()
+    cold = time.perf_counter() - t0
+    print(f"cold first request (incl. (1,F,n) compile): {cold:.1f} s", flush=True)
+
+    for fmt, q in (("json", ""), ("npz", "format=npz")):
+        lats = []
+        for _ in range(9):
+            t0 = time.perf_counter()
+            post(q)
+            lats.append(time.perf_counter() - t0)
+        warm = float(np.median(lats)) * 1e3
+        print(f"warm single-request latency ({fmt}): median {warm:.1f} ms "
+              f"(p0 {min(lats)*1e3:.1f}, p100 {max(lats)*1e3:.1f}) "
+              f"-> {audio_s/np.median(lats):.0f}x real-time single-stream",
+              flush=True)
+
+    print(json.dumps(srv.stats.snapshot(), indent=1), flush=True)
+    srv.shutdown()
+
+    # Concurrent throughput on a second server tuned for batching: a gather
+    # window that reliably coalesces an 8-burst arriving over localhost HTTP
+    # into ONE (8,F,n) dispatch.
+    srv2 = VoxServer(
+        ServeConfig(host="127.0.0.1", port=0, window_ms=30.0, max_batch=8,
+                    bucket=1024)
+    )
+    host, port = srv2.start()
+
+    def burst(n, q="format=npz"):
+        errs = []
+
+        def go():
+            try:
+                post(q)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [threading.Thread(target=go) for _ in range(n)]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        if errs:
+            raise errs[0]
+        return time.perf_counter() - t0
+
+    t_cold8 = burst(8)
+    print(f"cold 8-burst (incl. batch-shape compiles): {t_cold8:.1f} s", flush=True)
+    walls = [burst(8) for _ in range(5)]
+    med = float(np.median(walls))
+    print(f"warm 8-concurrent burst (npz): median wall {med*1e3:.1f} ms -> "
+          f"{8*audio_s/med:.0f}x real-time served", flush=True)
+    print(json.dumps(srv2.stats.snapshot(), indent=1), flush=True)
+    srv2.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,240 @@
+"""Serving daemon: analyze_batch per-file isolation + the HTTP/micro-batch
+runtime (voxtpu/serve.py).
+
+The reference has no serving story (its deployment model is the caller's
+serial frame loop, /root/reference/tests/lib.rs:71-83); these tests pin the
+framework's serving contract instead: responses equal the library's direct
+`analyze`, concurrent requests coalesce into one device dispatch, and client
+errors never take the daemon down.
+"""
+
+import http.client
+import io
+import json
+import os
+import threading
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from voxtpu.pipeline import (
+    AnalysisConfig,
+    FormantConfig,
+    MfccConfig,
+    PitchConfig,
+    analyze,
+    analyze_batch,
+    analyze_frames,
+)
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+WAV = os.path.join(FIX, "short_sample.wav")
+
+
+def _tiny_cfg(viterbi=False):
+    return AnalysisConfig(
+        8000.0, 128, 64,
+        PitchConfig(fmin=150.0, fmax=400.0, max_candidates=8, viterbi=viterbi),
+        FormantConfig(n_coeffs=8),
+        MfccConfig(num_coeffs=8, freq_hi=3500.0),
+    )
+
+
+def _tiny_frames(files=2, F=6, n=128, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 8000.0
+    base = np.sin(2 * np.pi * 220.0 * t)
+    return (base + 0.15 * rng.standard_normal((files, F, n))).astype(np.float32)
+
+
+# ---------- analyze_batch: the files-axis batch entry ----------------------
+
+
+def test_analyze_batch_matches_per_file():
+    frames = _tiny_frames(files=3)
+    cfg = _tiny_cfg()
+    out = analyze_batch(jnp.asarray(frames), cfg)
+    for b in range(frames.shape[0]):
+        ref = analyze_frames(jnp.asarray(frames[b]), cfg)
+        for k in ("f0", "formant_freqs", "formant_bws", "mfcc", "rms", "status"):
+            np.testing.assert_allclose(
+                np.asarray(out[k][b]), np.asarray(ref[k]), rtol=1e-6, atol=1e-6,
+                err_msg=f"{k} file {b}",
+            )
+
+
+def test_analyze_batch_viterbi_per_file_isolation():
+    """The Viterbi DP and its global intensity peak are per file: batching a
+    loud file with a quiet one must not change either one's path."""
+    frames = _tiny_frames(files=2)
+    frames[1] *= 0.05  # quiet file: per-file peak normalization must hold
+    cfg = _tiny_cfg(viterbi=True)
+    out = analyze_batch(jnp.asarray(frames), cfg)
+    for b in range(2):
+        ref = analyze_frames(jnp.asarray(frames[b]), cfg)
+        np.testing.assert_allclose(
+            np.asarray(out["f0"][b]), np.asarray(ref["f0"]), rtol=1e-6, atol=1e-6,
+        )
+
+
+def test_analyze_batch_zero_padding_rows_are_safe():
+    """All-zero padding rows (the micro-batcher's B pad) produce finite
+    outputs and do not perturb the real rows."""
+    frames = _tiny_frames(files=1)
+    cfg = _tiny_cfg()
+    alone = analyze_batch(jnp.asarray(frames), cfg)
+    padded = analyze_batch(
+        jnp.asarray(np.concatenate([frames, np.zeros_like(frames)])), cfg
+    )
+    for k in ("f0", "formant_freqs", "mfcc", "rms"):
+        np.testing.assert_allclose(
+            np.asarray(padded[k][0]), np.asarray(alone[k][0]), rtol=1e-6, atol=1e-6,
+        )
+        assert np.all(np.isfinite(np.asarray(padded["mfcc"][1]))) or k != "mfcc"
+
+
+# ---------- the HTTP runtime ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def server():
+    from voxtpu.serve import ServeConfig, VoxServer
+
+    srv = VoxServer(
+        ServeConfig(
+            host="127.0.0.1",
+            port=0,
+            window_ms=700.0,  # generous: the concurrency test must coalesce
+            max_batch=4,
+            bucket=64,
+            request_timeout_s=600.0,
+            defaults={"frame_ms": 50.0, "hop_ms": 10.0},
+        )
+    )
+    host, port = srv.start()
+    yield host, port, srv
+    srv.shutdown()
+
+
+def _post(host, port, body, query="", timeout=600.0):
+    conn = http.client.HTTPConnection(host, port, timeout=timeout)
+    conn.request("POST", f"/analyze?{query}" if query else "/analyze", body=body)
+    r = conn.getresponse()
+    data = r.read()
+    conn.close()
+    return r.status, data
+
+
+def _get(host, port, path):
+    conn = http.client.HTTPConnection(host, port, timeout=60.0)
+    conn.request("GET", path)
+    r = conn.getresponse()
+    data = r.read()
+    conn.close()
+    return r.status, json.loads(data)
+
+
+def test_serve_matches_direct_analyze(server):
+    host, port, _srv = server
+    with open(WAV, "rb") as f:
+        body = f.read()
+    status, data = _post(host, port, body)
+    assert status == 200, data
+    resp = json.loads(data)
+
+    from voxtpu.io_wav import read_wav
+    from voxtpu.cli import build_analysis_config
+
+    wav = read_wav(WAV, dtype=np.float32)
+    cfg = build_analysis_config(float(wav.sample_rate))
+    direct = analyze(wav.samples, cfg)
+
+    assert resp["frames"] == int(np.asarray(direct["rms"]).shape[0])
+    assert resp["sample_rate"] == float(wav.sample_rate)
+    for k in ("f0", "rms", "formant_freqs", "mfcc"):
+        got = np.asarray(resp["features"][k], dtype=np.float64)
+        want = np.asarray(direct[k], dtype=np.float64)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4, err_msg=k)
+
+
+def test_serve_npz_roundtrip(server):
+    host, port, _srv = server
+    with open(WAV, "rb") as f:
+        body = f.read()
+    status, data = _post(host, port, body, query="format=npz")
+    assert status == 200
+    feats = np.load(io.BytesIO(data))
+    status2, data2 = _post(host, port, body)  # same shape -> warm
+    resp = json.loads(data2)
+    np.testing.assert_allclose(
+        feats["rms"], np.asarray(resp["features"]["rms"]), rtol=1e-6, atol=1e-7
+    )
+    assert set(feats.files) >= {"f0", "rms", "formant_freqs", "mfcc", "status"}
+
+
+def test_serve_micro_batches_concurrent(server):
+    """N concurrent requests coalesce into one fixed-shape dispatch and all
+    get the single-request answer."""
+    host, port, srv = server
+    with open(WAV, "rb") as f:
+        body = f.read()
+    # Warm reference answer (its own dispatch).
+    status, ref_data = _post(host, port, body)
+    assert status == 200
+    ref = json.loads(ref_data)["features"]
+
+    before = srv.stats.snapshot()
+    results = [None] * 3
+
+    def go(i):
+        results[i] = _post(host, port, body)
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for status, data in results:
+        assert status == 200
+        feats = json.loads(data)["features"]
+        np.testing.assert_allclose(
+            np.asarray(feats["f0"]), np.asarray(ref["f0"]), rtol=1e-5, atol=1e-5
+        )
+    after = srv.stats.snapshot()
+    new_batches = after["batches"] - before["batches"]
+    new_reqs = after["batched_requests"] - before["batched_requests"]
+    assert new_reqs == 3
+    # Coalescing happened: fewer dispatches than requests.
+    assert new_batches < 3, (before, after)
+    assert any(int(k) >= 2 for k in after["batch_size_hist"])
+
+
+def test_serve_errors_do_not_kill_daemon(server):
+    host, port, _srv = server
+    status, data = _post(host, port, b"not a wav at all")
+    assert status == 400 and b"cannot decode WAV" in data
+    with open(WAV, "rb") as f:
+        body = f.read()
+    status, data = _post(host, port, body, query="bogus_param=1")
+    assert status == 400 and b"unknown parameter" in data
+    status, data = _post(host, port, body, query="channel=3")
+    assert status == 400 and b"out of range" in data
+    status, data = _post(host, port, b"")
+    assert status == 400
+    status, health = _get(host, port, "/healthz")
+    assert status == 200 and health["status"] == "ok"
+    conn = http.client.HTTPConnection(host, port, timeout=60.0)
+    conn.request("GET", "/nope")
+    assert conn.getresponse().status == 404
+    conn.close()
+
+
+def test_serve_stats_shape(server):
+    host, port, _srv = server
+    status, stats = _get(host, port, "/stats")
+    assert status == 200
+    assert stats["requests"] >= 1
+    assert stats["latency_ms"]["p50"] is not None
+    assert stats["compiled_shapes"], stats

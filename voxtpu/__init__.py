@@ -37,6 +37,7 @@ from voxtpu.pipeline import (
     FormantConfig,
     MfccConfig,
     analyze,
+    analyze_batch,
     analyze_frames,
     analyze_long,
     analyze_stream,
@@ -101,6 +102,7 @@ __all__ = [
     "FormantConfig",
     "MfccConfig",
     "analyze",
+    "analyze_batch",
     "analyze_frames",
     "analyze_long",
     "analyze_stream",

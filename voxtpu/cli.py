@@ -18,37 +18,71 @@ import sys
 import numpy as np
 
 
-def _build_config(args, sample_rate: float):
+def build_analysis_config(
+    sample_rate: float,
+    *,
+    frame_ms: float = 50.0,
+    hop_ms: float = 10.0,
+    features: str = "pitch,formants,mfcc,rms",
+    fmin: float = 60.0,
+    fmax: float = 600.0,
+    threshold: float = 0.2,
+    n_coeffs: int = 13,
+    mfcc_coeffs: int = 13,
+    pitch_refine: str = "sinc",
+    refine_depth: int | None = None,
+    resample_hz: float | None = None,
+):
+    """Millisecond-parameterized AnalysisConfig shared by the CLI and the
+    serving daemon (one definition of the frame/hop math, one compiled-shape
+    key for identical requests)."""
     from voxtpu.pipeline import AnalysisConfig, FormantConfig, MfccConfig, PitchConfig
 
-    features = set(args.features.split(","))
+    feat = set(features.split(","))
     # --resample-hz contract: the signal is resampled ONCE on-device to the
     # analysis rate (see _prepare_samples) and EVERY feature — pitch, formants,
     # MFCC, RMS — is computed at that rate. (The reference example resamples
     # the buffer then analyzes at the new rate, main.rs:44-55; its stale 8-arg
     # pitch() call on the unresampled buffer, main.rs:76-78, is a bug we do
     # not reproduce. VERDICT r2 #2.)
-    analysis_rate = args.resample_hz if args.resample_hz else sample_rate
-    frame_len = int(math.ceil(analysis_rate * args.frame_ms / 1000.0))
-    hop = int(math.ceil(analysis_rate * args.hop_ms / 1000.0))
+    analysis_rate = resample_hz if resample_hz else sample_rate
+    frame_len = int(math.ceil(analysis_rate * frame_ms / 1000.0))
+    hop = int(math.ceil(analysis_rate * hop_ms / 1000.0))
+    return AnalysisConfig(
+        sample_rate=analysis_rate,
+        frame_len=frame_len,
+        hop=hop,
+        pitch=PitchConfig(
+            enabled="pitch" in feat,
+            threshold=threshold,
+            fmin=fmin,
+            fmax=fmax,
+            refine=pitch_refine,
+            refine_depth=refine_depth,
+        ),
+        formant=FormantConfig(
+            enabled="formants" in feat,
+            n_coeffs=n_coeffs,
+        ),
+        mfcc=MfccConfig(enabled="mfcc" in feat, num_coeffs=mfcc_coeffs),
+    )
+
+
+def _build_config(args, sample_rate: float):
     return (
-        AnalysisConfig(
-            sample_rate=analysis_rate,
-            frame_len=frame_len,
-            hop=hop,
-            pitch=PitchConfig(
-                enabled="pitch" in features,
-                threshold=args.threshold,
-                fmin=args.fmin,
-                fmax=args.fmax,
-                refine=args.pitch_refine,
-                refine_depth=args.refine_depth,
-            ),
-            formant=FormantConfig(
-                enabled="formants" in features,
-                n_coeffs=args.n_coeffs,
-            ),
-            mfcc=MfccConfig(enabled="mfcc" in features, num_coeffs=args.mfcc_coeffs),
+        build_analysis_config(
+            sample_rate,
+            frame_ms=args.frame_ms,
+            hop_ms=args.hop_ms,
+            features=args.features,
+            fmin=args.fmin,
+            fmax=args.fmax,
+            threshold=args.threshold,
+            n_coeffs=args.n_coeffs,
+            mfcc_coeffs=args.mfcc_coeffs,
+            pitch_refine=args.pitch_refine,
+            refine_depth=args.refine_depth,
+            resample_hz=args.resample_hz,
         ),
         sample_rate,
     )
@@ -539,6 +573,58 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Run the serving daemon (voxtpu/serve.py): warm compiled pipeline,
+    bucket-ladder shape control, micro-batched device dispatches."""
+    if args.resample_hz:
+        print(
+            "error: serve does not support --resample-hz (requests are "
+            "analyzed at each file's native rate; resample offline or use "
+            "`analyze`)",
+            file=sys.stderr,
+        )
+        return 2
+    if args.f64:
+        print(
+            "error: serve is the float32 fast path; --f64 parity mode is "
+            "offline-only (`analyze`/`corpus`)",
+            file=sys.stderr,
+        )
+        return 2
+    _setup_compile_cache()
+    from voxtpu.serve import ServeConfig, VoxServer
+
+    defaults = {
+        "frame_ms": args.frame_ms,
+        "hop_ms": args.hop_ms,
+        "features": args.features,
+        "fmin": args.fmin,
+        "fmax": args.fmax,
+        "threshold": args.threshold,
+        "n_coeffs": args.n_coeffs,
+        "mfcc_coeffs": args.mfcc_coeffs,
+        "pitch_refine": args.pitch_refine,
+        "refine_depth": args.refine_depth,
+        "viterbi": args.viterbi,
+        "channel": args.channel,
+    }
+    server = VoxServer(
+        ServeConfig(
+            host=args.host,
+            port=args.port,
+            window_ms=args.window_ms,
+            max_batch=args.max_batch,
+            bucket=_resolve_bucket(args),
+            defaults=defaults,
+        )
+    )
+    if not args.no_warmup:
+        print("warming up (first pipeline compile)...", file=sys.stderr, flush=True)
+        server.warmup(sample_rate=args.warmup_hz)
+    server.serve_forever()
+    return 0
+
+
 def cmd_bench(args) -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
@@ -641,6 +727,28 @@ def main(argv=None) -> int:
                     help="shard each file's frames over all devices")
     common(sc)
     sc.set_defaults(fn=cmd_corpus)
+
+    ss = sub.add_parser(
+        "serve",
+        help="serve the pipeline over HTTP (warm executables, bucket-ladder "
+        "shapes, micro-batched dispatches)",
+    )
+    ss.add_argument("--host", default="127.0.0.1")
+    ss.add_argument("--port", type=int, default=8080)
+    ss.add_argument(
+        "--window-ms", type=float, default=3.0,
+        help="micro-batch gather window after the first queued request",
+    )
+    ss.add_argument(
+        "--max-batch", type=int, default=8,
+        help="files per device dispatch (batch axis pads to powers of two)",
+    )
+    ss.add_argument("--no-warmup", action="store_true",
+                    help="skip the startup compile of the default config")
+    ss.add_argument("--warmup-hz", type=float, default=44100.0,
+                    help="sample rate the warmup compile assumes")
+    common(ss)
+    ss.set_defaults(fn=cmd_serve)
 
     sb = sub.add_parser("bench", help="run the throughput benchmark")
     sb.set_defaults(fn=cmd_bench)

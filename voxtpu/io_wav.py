@@ -24,7 +24,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["WavData", "read_wav"]
+__all__ = ["WavData", "read_wav", "read_wav_bytes"]
 
 I32_MAX = 2**31 - 1
 
@@ -90,9 +90,25 @@ def read_wav(path: str, dtype=np.float64) -> WavData:
     reference test driver (valid-bits-aware for extensible files)."""
     with open(str(path), "rb") as f:
         raw = f.read()
+    return read_wav_bytes(raw, dtype=dtype)
+
+
+def read_wav_bytes(raw: bytes, dtype=np.float64) -> WavData:
+    """Decode an in-memory WAV (the serving ingest path: request bodies never
+    touch the filesystem). Identical semantics to `read_wav`."""
     code, ch, sr, container, valid, payload = _parse_riff(raw)
+    if ch == 0:
+        raise ValueError("zero channels")
+    # Tolerate a truncated data chunk (a declared ck_len past EOF — common in
+    # interrupted recordings): decode the integral sample prefix that exists,
+    # like the native reader (tests/test_wav_fuzz.py pins the equivalence).
+    sw = container // 8
+    if sw:
+        payload = payload[: len(payload) // sw * sw]
 
     if code == 3:  # IEEE float: already normalized
+        if valid != container:
+            raise ValueError(f"float WAV with partial valid bits: {valid}/{container}")
         if container == 32:
             data = np.frombuffer(payload, dtype="<f4")
         elif container == 64:
@@ -103,7 +119,8 @@ def read_wav(path: str, dtype=np.float64) -> WavData:
         samples = data[:n].astype(dtype)
         bits = container
     else:
-        sw = container // 8
+        if container not in (8, 16, 24, 32):
+            raise ValueError(f"unsupported PCM container width: {container}")
         if sw == 2:
             data = np.frombuffer(payload, dtype="<i2").astype(np.int64)
         elif sw == 4:

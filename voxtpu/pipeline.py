@@ -26,7 +26,7 @@ from voxtpu.mfcc import mfcc
 from voxtpu.pitch import pitch_frames
 from voxtpu.windows import hann
 
-__all__ = ["PitchConfig", "FormantConfig", "MfccConfig", "AnalysisConfig", "analyze_frames", "analyze", "analyze_long"]
+__all__ = ["PitchConfig", "FormantConfig", "MfccConfig", "AnalysisConfig", "analyze_frames", "analyze", "analyze_batch", "analyze_long"]
 
 
 @dataclass(frozen=True)
@@ -227,6 +227,72 @@ def analyze(samples, config: AnalysisConfig) -> dict:
     """Frame a 1-D signal and analyze (host-side convenience wrapper)."""
     frames = frame_signal(jnp.asarray(samples), config.frame_len, config.hop)
     return analyze_frames(frames, config)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def analyze_batch(frames: jax.Array, config: AnalysisConfig) -> dict:
+    """Analyze a stack of same-shape recordings (B, F, n) in ONE compiled
+    program — the files-axis batch entry point (serving micro-batches,
+    corpus blocks on a single device; `voxtpu.dist.sharded_analyze` is the
+    mesh-sharded version of the same shape).
+
+    Per-file isolation is exact: the McCandless carry
+    (/root/reference/src/spectrum.rs:336-369 is strictly per recording) and
+    the Viterbi path + its global intensity peak never cross file
+    boundaries, so row b equals `analyze_frames(frames[b], config)` up to
+    XLA batch-shape scheduling (pinned in tests/test_serve.py). All-zero
+    rows are safe padding: degenerate frames produce no pitch candidates
+    and an all-None formant trajectory, never NaNs (voxtpu/pitch.py zeroes
+    degenerate lag rows).
+    """
+    from voxtpu.formants import formant_tracker_batched
+
+    frames = jnp.asarray(frames)
+    B, F, n = frames.shape
+    do_formants = config.formant.enabled
+    do_viterbi = config.pitch.enabled and config.pitch.viterbi
+    inner = config
+    if do_viterbi:
+        import dataclasses
+
+        inner = dataclasses.replace(
+            config, pitch=dataclasses.replace(config.pitch, viterbi=False)
+        )
+
+    # Frame-parallel stages carry no cross-frame state: flatten (B, F) into
+    # one frame batch; the sequential stages below run per file.
+    out = analyze_frames(
+        frames.reshape(-1, n), inner, return_formant_candidates=do_formants
+    )
+    out = {k: v.reshape((B, F) + v.shape[1:]) for k, v in out.items()}
+
+    if do_formants:
+        rf = out.pop("resonance_freqs")  # (B, F, R)
+        rb = out.pop("resonance_bws")
+        est_f = jnp.asarray(config.formant.estimates, dtype=frames.dtype)
+        est_b = jnp.full_like(est_f, config.formant.estimate_bandwidth)
+        freqs, bws = formant_tracker_batched(rf, rb, est_f, est_b)
+        out["formant_freqs"] = freqs
+        out["formant_bws"] = bws
+
+    if do_viterbi:
+        from voxtpu.viterbi import PathConfig, pitch_path
+
+        local_peak = jnp.max(jnp.abs(frames), axis=-1)  # (B, F)
+        global_peak = jnp.max(local_peak, axis=1, keepdims=True)
+        intensity = local_peak / jnp.maximum(global_peak, 1e-30)
+        cfg = PathConfig(ceiling=config.pitch.fmax)
+        f0, s0 = jax.vmap(
+            lambda f, s, v, li: pitch_path(f, s, v, cfg, local_intensity=li)
+        )(
+            out["pitch_candidates_freq"],
+            out["pitch_candidates_strength"],
+            out["pitch_candidates_valid"],
+            intensity,
+        )
+        out.update(f0_outputs(f0, s0))
+
+    return out
 
 
 def _long_chunk_body(samples, start_frame, est, config: AnalysisConfig, chunk_frames: int):
