@@ -46,13 +46,17 @@ bool format_supported(const WavInfo& info) {
   return info.valid_bits >= 1 && info.valid_bits <= info.container_bits;
 }
 
-// Parses header; returns data chunk offset+size, or 0 on failure.
+// Parses header; fills info + data chunk offset/size. Walks EVERY chunk
+// (fmt/data in either order, last occurrence wins) and clamps a data ck_len
+// declared past EOF to the bytes that exist — truncated recordings decode
+// their integral sample prefix. Semantics mirror the Python RIFF walker
+// (voxtpu/io_wav.py) exactly; tests/test_wav_fuzz.py pins the equivalence.
 bool parse_wav(const uint8_t* buf, uint64_t len, WavInfo* info,
                uint64_t* data_off, uint64_t* data_len) {
-  if (len < 44 || memcmp(buf, "RIFF", 4) != 0 || memcmp(buf + 8, "WAVE", 4) != 0)
+  if (len < 12 || memcmp(buf, "RIFF", 4) != 0 || memcmp(buf + 8, "WAVE", 4) != 0)
     return false;
   uint64_t pos = 12;
-  bool have_fmt = false;
+  bool have_fmt = false, have_data = false;
   while (pos + 8 <= len) {
     const uint8_t* ck = buf + pos;
     uint32_t ck_len;
@@ -76,22 +80,24 @@ bool parse_wav(const uint8_t* buf, uint64_t len, WavInfo* info,
         if (memcmp(buf + body + 26, kSubformatGuidTail, 14) != 0) return false;
         memcpy(&fmt, buf + body + 24, 2);
       }
+      if (fmt != 1 && fmt != 3) return false;
       info->format = fmt;
-      if (!format_supported(*info)) return false;
       have_fmt = true;
     } else if (memcmp(ck, "data", 4) == 0) {
       *data_off = body;
       *data_len = ck_len;
-      if (*data_off + *data_len > len) *data_len = len - *data_off;
-      if (!have_fmt) return false;
-      uint32_t bytes_per = (info->container_bits / 8) * info->channels;
-      if (bytes_per == 0) return false;
-      info->n_frames = *data_len / bytes_per;
-      return true;
+      if (*data_off + *data_len > len)
+        *data_len = *data_off < len ? len - *data_off : 0;
+      have_data = true;
     }
     pos = body + ck_len + (ck_len & 1);
   }
-  return false;
+  if (!have_fmt || !have_data) return false;
+  if (info->channels == 0 || !format_supported(*info)) return false;
+  uint32_t bytes_per = (info->container_bits / 8) * info->channels;
+  if (bytes_per == 0) return false;
+  info->n_frames = *data_len / bytes_per;
+  return true;
 }
 
 template <typename F>
