@@ -94,6 +94,62 @@ def test_analyze_batch_zero_padding_rows_are_safe():
         assert np.all(np.isfinite(np.asarray(padded["mfcc"][1]))) or k != "mfcc"
 
 
+@pytest.mark.skipif(
+    not os.environ.get("VOXTPU_SHARDED_SUBTEST"),
+    reason="multi-device compile; runs in the child pytest "
+    "(test_serve_dp_group_in_subprocess) — XLA's CPU multi-device compile "
+    "path segfaults nondeterministically late in a long-lived process",
+)
+def test_packed_analyze_data_parallel_matches_single_device():
+    """dp>1 shards the packed program over the ('files',) mesh via GSPMD;
+    outputs must match the single-device program (8 virtual CPU devices)."""
+    import jax
+
+    from voxtpu.serve import _packed_analyze, _unpack
+
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 devices")
+    cfg = _tiny_cfg(viterbi=True)  # include the scan-heavy per-file stages
+    frames = _tiny_frames(files=4, F=6, n=128)
+    fn1, m1 = _packed_analyze(cfg, 4, 6, 128, dp=1)
+    fn4, m4 = _packed_analyze(cfg, 4, 6, 128, dp=4)
+    assert m1 == m4
+    import jax.numpy as jnp
+
+    a = _unpack(np.asarray(fn1(jnp.asarray(frames))), m1)
+    b = _unpack(np.asarray(fn4(jnp.asarray(frames))), m4)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-5, err_msg=k)
+
+
+def test_serve_dp_group_in_subprocess():
+    """Run the multi-device serving test in a fresh child pytest (the same
+    isolation test_pipeline uses for its shard_map group)."""
+    import subprocess
+    import sys
+
+    if os.environ.get("VOXTPU_SHARDED_SUBTEST"):
+        pytest.skip("already in the sharded child")
+    env = dict(os.environ, VOXTPU_SHARDED_SUBTEST="1")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-x", os.path.abspath(__file__),
+         "-k", "data_parallel_matches"],
+        env=env, capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, f"dp child failed\n{r.stdout[-3000:]}\n{r.stderr[-1500:]}"
+    assert "1 passed" in r.stdout, r.stdout[-2000:]
+
+
+def test_serve_config_validation():
+    from voxtpu.serve import ServeConfig, VoxServer
+
+    with pytest.raises(ValueError, match="power of two"):
+        VoxServer(ServeConfig(port=0, data_parallel=3))
+    with pytest.raises(ValueError, match="max_batch"):
+        VoxServer(ServeConfig(port=0, data_parallel=8, max_batch=4))
+
+
 # ---------- the HTTP runtime ------------------------------------------------
 
 

@@ -614,6 +614,7 @@ def cmd_serve(args) -> int:
             port=args.port,
             window_ms=args.window_ms,
             max_batch=args.max_batch,
+            data_parallel=args.data_parallel,
             bucket=_resolve_bucket(args),
             defaults=defaults,
         )
@@ -742,6 +743,11 @@ def main(argv=None) -> int:
     ss.add_argument(
         "--max-batch", type=int, default=8,
         help="files per device dispatch (batch axis pads to powers of two)",
+    )
+    ss.add_argument(
+        "--data-parallel", type=int, default=1, metavar="N",
+        help="shard full batches over N devices on the 'files' mesh axis "
+        "(power of two; small batches stay single-device)",
     )
     ss.add_argument("--no-warmup", action="store_true",
                     help="skip the startup compile of the default config")

@@ -60,6 +60,11 @@ class ServeConfig:
     max_batch: int = 8
     #: frame bucket (0 disables padding — every length compiles fresh)
     bucket: int = 1024
+    #: devices on the "files" mesh axis (power of two). Each device runs the
+    #: complete per-file pipeline on its shard of the batch — recordings are
+    #: independent, so serving data-parallelism needs NO collectives beyond
+    #: the input scatter / packed-output gather (SURVEY C28: the files axis).
+    data_parallel: int = 1
     max_body_bytes: int = 256 << 20
     #: how long a request may wait on the device queue (covers cold compiles)
     request_timeout_s: float = 900.0
@@ -105,9 +110,10 @@ def _pow2_batch(b: int, max_batch: int) -> int:
 _PACKED_CACHE: dict = {}
 
 
-def _packed_analyze(config, B: int, Fp: int, n: int):
-    """One compiled program per (config, B, Fp, n) that runs `analyze_batch`
-    AND flattens every feature into a single (B, total) float32 buffer.
+def _packed_analyze(config, B: int, Fp: int, n: int, dp: int = 1):
+    """One compiled program per (config, B, Fp, n, dp) that runs
+    `analyze_batch` AND flattens every feature into a single (B, total)
+    float32 buffer.
 
     Through the axon tunnel each fetched buffer pays a fixed per-buffer
     roundtrip (~25 ms; the ~12-feature dict costs ~300 ms fetched naively —
@@ -115,8 +121,13 @@ def _packed_analyze(config, B: int, Fp: int, n: int):
     concatenate), and local PJRT still prefers one contiguous D2H copy. The
     manifest of (key, shape, dtype) computed at trace time drives host-side
     unpacking; int/bool features round-trip exactly (status bits < 2^24).
+
+    dp > 1 shards the batch over a ("files",) device mesh via sharding
+    annotations (GSPMD): recordings are independent, so each device runs the
+    complete per-file pipeline on its B/dp rows and the only cross-device
+    traffic is the input scatter and the packed-output gather.
     """
-    key = (config, B, Fp, n)
+    key = (config, B, Fp, n, dp)
     hit = _PACKED_CACHE.get(key)
     if hit is not None:
         return hit
@@ -130,7 +141,6 @@ def _packed_analyze(config, B: int, Fp: int, n: int):
     )
     manifest = [(k, tuple(v.shape), np.dtype(v.dtype)) for k, v in sorted(spec.items())]
 
-    @jax.jit
     def packed(frames):
         out = analyze_batch(frames, config)
         return jnp.concatenate(
@@ -138,8 +148,25 @@ def _packed_analyze(config, B: int, Fp: int, n: int):
             axis=1,
         )
 
-    _PACKED_CACHE[key] = (packed, manifest)
-    return packed, manifest
+    if dp > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        if B % dp:
+            raise ValueError(f"batch {B} not divisible by data_parallel {dp}")
+        devices = jax.devices()
+        if dp > len(devices):
+            raise ValueError(f"data_parallel {dp} > {len(devices)} devices")
+        mesh = Mesh(np.asarray(devices[:dp]), ("files",))
+        fn = jax.jit(
+            packed,
+            in_shardings=NamedSharding(mesh, P("files", None, None)),
+            out_shardings=NamedSharding(mesh, P("files", None)),
+        )
+    else:
+        fn = jax.jit(packed)
+
+    _PACKED_CACHE[key] = (fn, manifest)
+    return fn, manifest
 
 
 def _unpack(flat: np.ndarray, manifest) -> dict:
@@ -214,10 +241,15 @@ class _MicroBatcher:
             import jax.numpy as jnp
 
             B = _pow2_batch(len(items), self.cfg.max_batch)
+            # Small batches stay on one device (a dp-wide dispatch would pad
+            # a single request to dp files); full-enough batches shard over
+            # the files mesh axis.
+            dp = self.cfg.data_parallel
+            eff_dp = dp if dp > 1 and B >= dp else 1
             stack = np.zeros((B, Fp, n), dtype=np.float32)
             for i, it in enumerate(items):
                 stack[i] = it.frames
-            packed_fn, manifest = _packed_analyze(config, B, Fp, n)
+            packed_fn, manifest = _packed_analyze(config, B, Fp, n, dp=eff_dp)
             t0 = time.monotonic()
             flat = np.asarray(packed_fn(jnp.asarray(stack)))
             dt = time.monotonic() - t0
@@ -331,6 +363,13 @@ class VoxServer:
     the CLI."""
 
     def __init__(self, cfg: ServeConfig):
+        dp = cfg.data_parallel
+        if dp < 1 or (dp & (dp - 1)):
+            raise ValueError(f"data_parallel must be a power of two, got {dp}")
+        if cfg.max_batch < dp:
+            raise ValueError(
+                f"max_batch ({cfg.max_batch}) must be >= data_parallel ({dp})"
+            )
         self.cfg = cfg
         self.stats = _Stats()
         self.batcher = _MicroBatcher(cfg, self.stats)
