@@ -267,6 +267,14 @@ def test_corpus_sharded_bucketed_matches_serial(tmp_path):
         np.testing.assert_allclose(z["f0"], z2["f0"], rtol=1e-6, err_msg=name)
 
 
+def test_serve_rejects_unsupported_flags(capsys):
+    """serve must refuse flags it would otherwise silently ignore."""
+    rc = cli_main(["serve", "--resample-hz", "10000", "--port", "0"])
+    assert rc == 2 and "--resample-hz" in capsys.readouterr().err
+    rc = cli_main(["serve", "--f64", "--port", "0"])
+    assert rc == 2 and "--f64" in capsys.readouterr().err
+
+
 def test_bucket_ladder_targets():
     """VERDICT r3 #6: small files pad to the measured {64, 256} rungs, not
     the full top bucket; explicit small buckets behave classically."""

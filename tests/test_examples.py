@@ -29,6 +29,17 @@ def test_pitch_detection_example(capsys):
     assert abs(f0 - 150.0) < 0.5, lines[0]
 
 
+def test_serving_client_example(capsys):
+    mod = _load_example("serving_client")
+    mod.main()
+    out = capsys.readouterr().out
+    assert "f0 track:" in out and "server stats: " in out, out
+    # short_sample's f0 sits near 100 Hz (the wav-parity fixture truth).
+    track = [float(v) for v in out.split("f0 track:")[1].splitlines()[0].split()]
+    voiced = [v for v in track if v > 0]
+    assert voiced and all(60 <= v <= 500 for v in voiced), track
+
+
 def test_formant_extraction_example(capsys):
     mod = _load_example("formant_extraction")
     rc = mod.main()
