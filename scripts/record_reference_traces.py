@@ -114,6 +114,49 @@ def main():
         mf.append(ref.mfcc(frame, 13, (100.0, 6000.0), sr16))
     out["synth16k_mfcc"] = np.asarray(mf)
 
+    # --- synth_8k.wav / synth_48k.wav: more rates (make_synth_fixture.py) —
+    # telephony-band 8 kHz (formants near Nyquist) and pro-audio 48 kHz.
+    for tag, fname, fbin, fhop, order, pbin, phop, fmax, mel_hi in (
+        ("synth8k", "synth_8k.wav", 512, 256, 10, 512, 256, 450.0, 3500.0),
+        ("synth48k", "synth_48k.wav", 2048, 1024, 12, 1024, 512, 500.0, 8000.0),
+    ):
+        wavr = read_wav(os.path.join(FIX, fname))
+        srr = float(wavr.sample_rate)
+        sx = wavr.samples
+
+        formants = [(f, 1.0) for f in ref.MALE_FORMANT_ESTIMATES]
+        F = (len(sx) - fbin) // fhop + 1
+        ff, fb = [], []
+        for i in range(F):
+            frame = sx[i * fhop : i * fhop + fbin].copy()
+            ref.find_formants_frame(frame, srr, 1.0, order, formants)
+            ff.append([f for f, _ in formants])
+            fb.append([b for _, b in formants])
+        out[f"{tag}_formant_freqs"] = np.asarray(ff)
+        out[f"{tag}_formant_bws"] = np.asarray(fb)
+
+        # Capacity 48: the noisy 8 kHz vowel frames exceed the default 33
+        # candidate slots (34 observed) — PARITY deviation 1 territory; the
+        # tests run pitch_frames with a matching max_candidates.
+        F = (len(sx) - pbin) // phop + 1
+        w = ref.hanning(pbin)
+        cand_f = np.zeros((F, 48))
+        cand_s = np.zeros((F, 48))
+        cand_n = np.zeros(F, dtype=np.int32)
+        mf = []
+        for i in range(F):
+            frame = sx[i * phop : i * phop + pbin] * w
+            cands = ref.pitch(frame, srr, 0.2, 1.0, 1.0, 60.0, fmax)
+            cand_n[i] = len(cands)
+            for j, (f, s) in enumerate(cands[:48]):
+                cand_f[i, j], cand_s[i, j] = f, s
+            mf.append(ref.mfcc(frame, 13, (100.0, mel_hi), srr))
+            print(f"{tag} pitch frame {i+1}/{F}", flush=True)
+        out[f"{tag}_pitch_freq"] = cand_f
+        out[f"{tag}_pitch_strength"] = cand_s
+        out[f"{tag}_pitch_count"] = cand_n
+        out[f"{tag}_mfcc"] = np.asarray(mf)
+
     # --- down_sampled.wav: whole-file formants (order 13, lib.rs:13-42)
     wav2 = read_wav(os.path.join(FIX, "down_sampled.wav"))
     formants = [(f, 1.0) for f in ref.MALE_FORMANT_ESTIMATES]
