@@ -189,3 +189,18 @@ def test_power_and_ac_ct_fused_x3_interpret():
     np.testing.assert_allclose(
         np.asarray(a2) / scale_a, np.asarray(a1) / scale_a, rtol=0, atol=2e-5
     )
+
+
+def test_unknown_backend_rejected():
+    """Exact-match backend names: a typo like 'ct_fused_fast' must raise, not
+    silently run some variant (ADVICE r4)."""
+    import pytest
+
+    from voxtpu.autocorr import autocorrelate, power_and_autocorrelate
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64)))
+    for bad in ("ct_fused_fast", "ct_fused_xe3", "fft2", ""):
+        with pytest.raises(ValueError, match="unknown backend"):
+            autocorrelate(x, 8, backend=bad)
+        with pytest.raises(ValueError, match="unknown backend"):
+            power_and_autocorrelate(x, 8, backend=bad)

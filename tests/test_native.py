@@ -194,3 +194,22 @@ def test_bad_formats_fail_loudly(tmp_path):
         for p in (badguid, alaw, f16):
             with pytest.raises(IOError):
                 native.read_wav(str(p))
+
+
+@pytest.mark.skipif(not native.available(), reason="g++ build unavailable")
+def test_native_read_channel_bounds_and_channels_return():
+    path = os.path.join(FIXTURES, "short_sample.wav")
+    samples, sr, bits, n_ch = native.read_wav(path, return_channels=True)
+    assert n_ch == 1 and sr == 11025
+    with pytest.raises(IndexError):
+        native.read_wav(path, channel=1)
+    with pytest.raises(IndexError):
+        native.read_wav(path, channel=-1)
+
+
+def test_cli_read_rejects_negative_channel(tmp_path):
+    from voxtpu.cli import _read
+
+    path = os.path.join(FIXTURES, "short_sample.wav")
+    with pytest.raises(IndexError, match="non-negative"):
+        _read(path, np.float64, channel="-1")

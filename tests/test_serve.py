@@ -267,6 +267,81 @@ def test_serve_micro_batches_concurrent(server):
     assert any(int(k) >= 2 for k in after["batch_size_hist"])
 
 
+def test_serve_viterbi_runs_on_trimmed_candidates(server):
+    """viterbi=1 must equal the unpadded library path: the DP runs host-side
+    on the TRIMMED candidates (pitch_path_host), never over bucket padding
+    (the module server pads this fixture's 21 frames to the 64 rung, and a
+    padded device DP would bias the tail toward unvoiced)."""
+    host, port, _srv = server
+    with open(WAV, "rb") as f:
+        body = f.read()
+    status, data = _post(host, port, body, query="viterbi=1")
+    assert status == 200, data
+    resp = json.loads(data)
+
+    from voxtpu.cli import build_analysis_config
+    from voxtpu.io_wav import read_wav
+    from voxtpu.frame import frame_signal
+    from voxtpu.viterbi import PathConfig, pitch_path_host
+
+    wav = read_wav(WAV, dtype=np.float32)
+    cfg = build_analysis_config(float(wav.sample_rate))
+    frames = frame_signal(jnp.asarray(wav.samples), cfg.frame_len, cfg.hop)
+    out = analyze_frames(frames, cfg)
+    lp = np.max(np.abs(np.asarray(frames)), axis=-1)
+    f0, s0 = pitch_path_host(
+        np.asarray(out["pitch_candidates_freq"]),
+        np.asarray(out["pitch_candidates_strength"]),
+        np.asarray(out["pitch_candidates_valid"]),
+        PathConfig(ceiling=cfg.pitch.fmax),
+        local_intensity=lp / np.maximum(np.max(lp), 1e-30),
+    )
+    got = np.asarray(resp["features"]["f0"], dtype=np.float64)
+    assert got.shape == f0.shape
+    np.testing.assert_allclose(got, f0, rtol=1e-4, atol=1e-4)
+    # Voicing decisions (the thing padding corrupts) must agree exactly.
+    np.testing.assert_array_equal(got > 0, f0 > 0)
+
+
+def test_serve_param_validation(server):
+    host, port, _srv = server
+    with open(WAV, "rb") as f:
+        body = f.read()
+    for q, frag in [
+        ("hop_ms=0", b"must be > 0"),
+        ("frame_ms=-5", b"must be > 0"),
+        ("channel=-1", b"non-negative"),
+        ("channel=abc", b"non-negative"),
+        ("pitch_refine=bogus", b"pitch_refine"),
+        ("format=xml", b"format"),
+        ("fmin=700&fmax=600", b"fmin"),
+        ("n_coeffs=0", b"n_coeffs"),
+        ("refine_depth=0", b"refine_depth"),
+    ]:
+        status, data = _post(host, port, body, query=q)
+        assert status == 400 and frag in data, (q, status, data[:200])
+
+
+def test_serve_locked_param_overrides():
+    from voxtpu.serve import ServeConfig, VoxServer
+
+    srv = VoxServer(
+        ServeConfig(port=0, allow_param_overrides=False, window_ms=1.0)
+    )
+    host, port = srv.start()
+    try:
+        # Config-affecting override -> 400 (checked before decode: no
+        # compile is ever triggered by a locked-out request).
+        status, data = _post(host, port, b"x", query="fmin=100")
+        assert status == 400 and b"disabled" in data
+        # Host-side params stay available (the decode failure proves the
+        # param gate passed).
+        status, data = _post(host, port, b"x", query="format=npz&viterbi=1")
+        assert status == 400 and b"cannot decode" in data
+    finally:
+        srv.shutdown()
+
+
 def test_serve_errors_do_not_kill_daemon(server):
     host, port, _srv = server
     status, data = _post(host, port, b"not a wav at all")

@@ -220,3 +220,63 @@ def test_path_matches_boersma_oracle_no_intensity():
     exp_f, exp_s = _oracle_f0(freq, strength, valid, None, cfg)
     np.testing.assert_array_equal(np.asarray(f0), exp_f)
     np.testing.assert_array_equal(np.asarray(s0), exp_s)
+
+
+def test_pitch_path_host_matches_device_random():
+    """The NumPy serving twin must be bit-identical to pitch_path (same op
+    order, same first-win argmax ties) — random candidates, with and without
+    the silence-aware intensity."""
+    from voxtpu.viterbi import pitch_path_host
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        F, C = int(rng.integers(2, 60)), int(rng.integers(2, 12))
+        freq = np.where(
+            rng.random((F, C)) < 0.3, 0.0, rng.uniform(80, 400, (F, C))
+        )
+        strength = rng.uniform(-0.5, 1.0, (F, C))
+        valid = rng.random((F, C)) < 0.9
+        valid[:, 0] = True
+        li = rng.uniform(0.0, 1.0, F) if trial % 2 else None
+        cfg = PathConfig()
+        args = (jnp.asarray(freq), jnp.asarray(strength), jnp.asarray(valid))
+        f0_d, s0_d = pitch_path(*args, cfg, local_intensity=li)
+        f0_h, s0_h = pitch_path_host(freq, strength, valid, cfg, local_intensity=li)
+        np.testing.assert_array_equal(np.asarray(f0_d), f0_h, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(np.asarray(s0_d), s0_h, err_msg=f"trial {trial}")
+
+
+def test_pitch_path_host_single_frame():
+    from voxtpu.viterbi import pitch_path_host
+
+    freq = np.asarray([[0.0, 120.0]])
+    strength = np.asarray([[0.2, 0.9]])
+    f0, s0 = pitch_path_host(freq, strength, np.ones((1, 2), bool))
+    assert f0[0] == 120.0 and s0[0] == 0.9
+
+
+def test_device_dp_over_padded_frames_is_not_neutral():
+    """The motivation for the host twin (and the serving fix): appending
+    zero-padded unvoiced-only frames to the DP changes the last REAL frames'
+    path — a voiced candidate at the boundary pays voiced_unvoiced_cost into
+    the pad tail while an unvoiced one pays nothing."""
+    from voxtpu.viterbi import pitch_path_host
+
+    F, C = 4, 2
+    # Last real frame: voiced barely beats unvoiced locally.
+    freq = np.tile(np.asarray([[150.0, 0.0]]), (F, 1))
+    # Boundary margin: voiced local = 0.532 - 0.01*log2(4) = 0.512; the
+    # unvoiced path pays vuc=0.14 entering unvoiced (0.52 - 0.14 = 0.38),
+    # so unpadded margin is 0.132 < vuc — exactly the knife the pad flips.
+    strength = np.asarray([[0.9, 0.1]] * (F - 1) + [[0.532, 0.52]])
+    valid = np.ones((F, C), bool)
+    cfg = PathConfig()
+    f0_real, _ = pitch_path_host(freq, strength, valid, cfg)
+    # Pad with unvoiced-only frames (what bucket padding produces).
+    pad = 8
+    freq_p = np.concatenate([freq, np.zeros((pad, C))])
+    strength_p = np.concatenate([strength, np.full((pad, C), 0.2)])
+    valid_p = np.concatenate([valid, np.tile([False, True], (pad, 1)).astype(bool)])
+    f0_pad, _ = pitch_path_host(freq_p, strength_p, valid_p, cfg)
+    assert f0_real[-1] > 0.0, "setup: last real frame should be voiced unpadded"
+    assert f0_pad[F - 1] == 0.0, "setup: padding should flip the boundary frame"

@@ -25,6 +25,14 @@ import jax.numpy as jnp
 
 __all__ = ["autocorrelate", "power_and_autocorrelate"]
 
+#: Every explicit backend name (None = auto). "x3" = the 3-pass bf16 matmul
+#: algorithm (opt-in, 1e-6-class accuracy — PARITY deviation 12);
+#: "_interpret" = Pallas interpret mode for CPU tests.
+_BACKENDS = frozenset(
+    ["fft", "ct", "ct_fused", "ct_fused_interpret", "ct_fused_x3",
+     "ct_fused_x3_interpret"]
+)
+
 
 def _next_pow2(n: int) -> int:
     return 1 << (int(n) - 1).bit_length()
@@ -72,6 +80,10 @@ def power_and_autocorrelate(
             backend = "ct"
         else:
             backend = "fft"
+    elif backend not in _BACKENDS:
+        # Exact-match only: a prefix test would silently run the wrong
+        # variant for a typo like "ct_fused_fast" in an A/B harness.
+        raise ValueError(f"unknown backend {backend!r}; one of {sorted(_BACKENDS)}")
     elif backend.startswith("ct_fused") and not fused_ok:
         backend = "ct" if ct_ok else "fft"
     elif backend == "ct" and not ct_ok:
@@ -157,6 +169,8 @@ def autocorrelate(
             backend = "ct"
         else:
             backend = "fft"
+    elif backend not in _BACKENDS:
+        raise ValueError(f"unknown backend {backend!r}; one of {sorted(_BACKENDS)}")
     elif backend.startswith("ct_fused") and not fused_ok:
         backend = "ct" if ct_supported(nfft) else "fft"
     elif backend == "ct" and not ct_supported(nfft):

@@ -126,16 +126,19 @@ def _read(path: str, dtype, channel: str = "0"):
     what was done; an out-of-range index raises."""
     mix = str(channel).strip().lower() == "mix"
     idx = 0 if mix else int(channel)
+    if idx < 0:
+        # numpy's samples[:, -1] would silently select from the END (and the
+        # native reader rejects negatives) — never reader-dependent behavior.
+        raise IndexError(f"--channel must be non-negative, got {idx}")
     from voxtpu import native
 
     if native.available() and not mix:
         try:
-            n_ch = native.wav_info(path)[2]
-            if idx >= n_ch:
-                raise IndexError(
-                    f"--channel {idx} out of range: {path} has {n_ch} channel(s)"
-                )
-            samples, sr, _bits = native.read_wav(path, dtype=dtype, channel=idx)
+            # ONE native call (header probe + decode); a separate wav_info
+            # probe would read and parse the file again (ADVICE r4).
+            samples, sr, _bits, n_ch = native.read_wav(
+                path, dtype=dtype, channel=idx, return_channels=True
+            )
             if n_ch > 1:
                 print(
                     f"{path}: {n_ch}-channel input, using channel {idx} "
@@ -616,6 +619,7 @@ def cmd_serve(args) -> int:
             max_batch=args.max_batch,
             data_parallel=args.data_parallel,
             bucket=_resolve_bucket(args),
+            allow_param_overrides=not args.no_param_overrides,
             defaults=defaults,
         )
     )
@@ -751,6 +755,12 @@ def main(argv=None) -> int:
     )
     ss.add_argument("--no-warmup", action="store_true",
                     help="skip the startup compile of the default config")
+    ss.add_argument(
+        "--no-param-overrides", action="store_true",
+        help="reject per-request analysis parameter overrides (each distinct "
+        "config is a multi-minute cold compile — lock down for untrusted "
+        "clients; channel/format/viterbi stay available)",
+    )
     ss.add_argument("--warmup-hz", type=float, default=44100.0,
                     help="sample rate the warmup compile assumes")
     common(ss)

@@ -99,8 +99,14 @@ def wav_info(path: str):
     return int(sr.value), int(bits.value), int(ch.value), int(n.value)
 
 
-def read_wav(path: str, dtype=np.float64, channel: int = 0):
-    """Native WAV read -> (samples, sample_rate, bits). Raises if unavailable."""
+def read_wav(path: str, dtype=np.float64, channel: int = 0,
+             return_channels: bool = False):
+    """Native WAV read -> (samples, sample_rate, bits[, n_channels]).
+
+    Raises RuntimeError if the native library is unavailable, IndexError for
+    an out-of-range channel. One call does the whole job (header probe +
+    decode) — callers should not pair it with a separate `wav_info` probe,
+    which would re-read and re-parse the file (ADVICE r4)."""
     lib = load()
     if lib is None:
         raise RuntimeError("native wavio unavailable (g++ build failed)")
@@ -111,6 +117,12 @@ def read_wav(path: str, dtype=np.float64, channel: int = 0):
     rc = lib.voxtpu_wav_info(path.encode(), sr, bits, ch, n)
     if rc != 0:
         raise IOError(f"voxtpu_wav_info failed ({rc}) for {path}")
+    if channel < 0 or channel >= ch.value:
+        # Checked host-side: a negative value would wrap through the C
+        # uint32 parameter.
+        raise IndexError(
+            f"channel {channel} out of range: {path} has {ch.value} channel(s)"
+        )
     f64 = np.dtype(dtype) == np.float64
     out = np.empty(n.value, dtype=np.float64 if f64 else np.float32)
     rc = lib.voxtpu_wav_read(
@@ -119,6 +131,8 @@ def read_wav(path: str, dtype=np.float64, channel: int = 0):
     )
     if rc != 0:
         raise IOError(f"voxtpu_wav_read failed ({rc}) for {path}")
+    if return_channels:
+        return out, int(sr.value), int(bits.value), int(ch.value)
     return out, int(sr.value), int(bits.value)
 
 

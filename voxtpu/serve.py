@@ -68,6 +68,11 @@ class ServeConfig:
     max_body_bytes: int = 256 << 20
     #: how long a request may wait on the device queue (covers cold compiles)
     request_timeout_s: float = 900.0
+    #: when False, requests may not override analysis params (each distinct
+    #: config is a multi-minute cold compile serialized on the dispatcher —
+    #: an easy DoS from untrusted clients). Host-side params (channel,
+    #: format, viterbi) stay available.
+    allow_param_overrides: bool = True
     #: analysis defaults applied to requests that don't override them
     defaults: dict = field(default_factory=dict)
 
@@ -107,7 +112,14 @@ def _pow2_batch(b: int, max_batch: int) -> int:
     return min(p, max_batch)
 
 
+#: Compiled-program cache, FIFO-bounded: every entry is a full XLA
+#: executable (minutes of TPU compile each), and the key includes the
+#: request config — without a bound, a client varying an analysis param per
+#: request would grow it monotonically. 64 programs is far above any sane
+#: deployment's working set; see ServeConfig.allow_param_overrides for
+#: stopping the compile COST itself.
 _PACKED_CACHE: dict = {}
+_PACKED_CACHE_MAX = 64
 
 
 def _packed_analyze(config, B: int, Fp: int, n: int, dp: int = 1):
@@ -165,6 +177,8 @@ def _packed_analyze(config, B: int, Fp: int, n: int, dp: int = 1):
     else:
         fn = jax.jit(packed)
 
+    if len(_PACKED_CACHE) >= _PACKED_CACHE_MAX:
+        _PACKED_CACHE.pop(next(iter(_PACKED_CACHE)))
     _PACKED_CACHE[key] = (fn, manifest)
     return fn, manifest
 
@@ -331,14 +345,23 @@ def _select_channel(samples: np.ndarray, channel: str):
     """Mirror cli._read's channel semantics on decoded samples; returns
     (mono_samples, note_or_None)."""
     mix = str(channel).strip().lower() == "mix"
+    if not mix:
+        try:
+            idx = int(channel)
+        except ValueError:
+            raise RequestError(f"bad channel: {channel!r}")
+        if idx < 0:
+            # A negative index would silently select from the END via numpy
+            # semantics — and the native reader rejects it, so the two paths
+            # would diverge.
+            raise RequestError(f"channel must be non-negative, got {idx}")
     if samples.ndim == 1:
-        if not mix and int(channel) > 0:
+        if not mix and idx > 0:
             raise RequestError(f"channel {channel} out of range: input has 1 channel")
         return samples, None
     n_ch = samples.shape[1]
     if mix:
         return samples.mean(axis=1, dtype=samples.dtype), f"{n_ch}-channel input, mixed down"
-    idx = int(channel)
     if idx >= n_ch:
         raise RequestError(f"channel {idx} out of range: input has {n_ch} channel(s)")
     return samples[:, idx], f"{n_ch}-channel input, using channel {idx}"
@@ -366,9 +389,13 @@ class VoxServer:
         dp = cfg.data_parallel
         if dp < 1 or (dp & (dp - 1)):
             raise ValueError(f"data_parallel must be a power of two, got {dp}")
-        if cfg.max_batch < dp:
+        if cfg.max_batch < dp or cfg.max_batch % dp:
+            # B = min(next_pow2, max_batch) must stay divisible by dp when a
+            # group fills past max_batch, so max_batch itself must be a dp
+            # multiple (a non-multiple would fail whole dispatches with 500s).
             raise ValueError(
-                f"max_batch ({cfg.max_batch}) must be >= data_parallel ({dp})"
+                f"max_batch ({cfg.max_batch}) must be a multiple of "
+                f"data_parallel ({dp})"
             )
         self.cfg = cfg
         self.stats = _Stats()
@@ -443,6 +470,14 @@ class VoxServer:
             raise RequestError(
                 f"unknown parameter(s): {sorted(unknown)}; allowed: {sorted(_ALLOWED_PARAMS)}"
             )
+        if not self.cfg.allow_param_overrides:
+            locked = set(raw) - {"channel", "format", "viterbi"}
+            if locked:
+                raise RequestError(
+                    f"analysis parameter overrides are disabled on this "
+                    f"server (got {sorted(locked)}); only channel/format/"
+                    f"viterbi are accepted"
+                )
         p = dict(self.cfg.defaults)
         for k, vs in raw.items():
             v = vs[-1]
@@ -457,12 +492,35 @@ class VoxServer:
                     p[k] = v
             except ValueError:
                 raise RequestError(f"bad value for {k}: {v!r}")
+        # Semantic validation: every client-controlled value that would
+        # otherwise blow up deep inside framing/config as a 500.
+        if p.get("frame_ms", 50.0) <= 0 or p.get("hop_ms", 10.0) <= 0:
+            raise RequestError("frame_ms and hop_ms must be > 0")
+        if p.get("fmin", 60.0) <= 0 or p.get("fmax", 600.0) <= p.get("fmin", 60.0):
+            raise RequestError("need 0 < fmin < fmax")
+        if p.get("n_coeffs", 13) < 1 or p.get("mfcc_coeffs", 13) < 1:
+            raise RequestError("n_coeffs and mfcc_coeffs must be >= 1")
+        if p.get("refine_depth") is not None and p["refine_depth"] < 1:
+            raise RequestError("refine_depth must be >= 1")
+        if p.get("pitch_refine", "sinc") not in ("sinc", "parabolic"):
+            raise RequestError("pitch_refine must be 'sinc' or 'parabolic'")
+        ch = str(p.get("channel", "0")).strip().lower()
+        if ch != "mix" and not ch.isdigit():
+            raise RequestError("channel must be a non-negative integer or 'mix'")
+        if p.get("format", "json") not in ("json", "npz"):
+            raise RequestError("format must be 'json' or 'npz'")
         return p
 
     def _config(self, sample_rate: float, p: dict):
+        """The compiled-program config for a request. Viterbi is deliberately
+        NOT part of it: the whole-recording DP runs host-side per request on
+        the TRIMMED candidates (`viterbi.pitch_path_host`) — running it in
+        the padded batch program is wrong (the backtrace would start in the
+        zero-padded tail and bias the last real frames toward unvoiced), and
+        viterbi/non-viterbi requests get to share executables."""
         from voxtpu.cli import build_analysis_config
 
-        config = build_analysis_config(
+        return build_analysis_config(
             sample_rate,
             frame_ms=p.get("frame_ms", 50.0),
             hop_ms=p.get("hop_ms", 10.0),
@@ -475,13 +533,6 @@ class VoxServer:
             pitch_refine=p.get("pitch_refine", "sinc"),
             refine_depth=p.get("refine_depth"),
         )
-        if p.get("viterbi"):
-            import dataclasses
-
-            config = dataclasses.replace(
-                config, pitch=dataclasses.replace(config.pitch, viterbi=True)
-            )
-        return config
 
     def analyze_request(self, body: bytes, query: str):
         """Decode + frame + dispatch one request; returns (format, payload)."""
@@ -512,6 +563,25 @@ class VoxServer:
         if item.error is not None:
             raise RuntimeError(item.error)
 
+        if p.get("viterbi") and config.pitch.enabled:
+            # Host-side path search on the trimmed candidates (see _config).
+            from voxtpu.viterbi import PathConfig, pitch_path_host
+
+            lp = np.max(np.abs(frames[:F]), axis=-1)
+            intensity = lp / np.maximum(np.max(lp), 1e-30)
+            f0, s0 = pitch_path_host(
+                item.result["pitch_candidates_freq"],
+                item.result["pitch_candidates_strength"],
+                item.result["pitch_candidates_valid"],
+                PathConfig(ceiling=config.pitch.fmax),
+                local_intensity=intensity,
+            )
+            s_best = np.clip(s0, 1e-6, 1.0 - 1e-6)
+            hnr = (10.0 * np.log10(s_best / (1.0 - s_best))).astype(s0.dtype)
+            item.result.update(
+                f0=f0, f0_strength=s0, hnr_db=np.where(f0 > 0, hnr, -np.inf)
+            )
+
         meta = {
             "frames": F,
             "sample_rate": float(wav.sample_rate),
@@ -540,17 +610,28 @@ class VoxServer:
             dev = {"backend_error": str(e)}
         return {"status": "ok", **dev}
 
-    def warmup(self, sample_rate: float = 44100.0, rungs=(64,), batches=(1,)) -> None:
-        """Pre-compile the default config at the given ladder rungs and batch
-        sizes — the exact packed programs requests run — so the first request
-        doesn't pay the cold compile."""
+    def warmup(self, sample_rate: float = 44100.0, shapes=None) -> None:
+        """Pre-compile the default config's packed programs so first requests
+        don't pay the cold compile.
+
+        shapes: iterable of (B, Fp) pairs; default covers both ends — a lone
+        small request (1, smallest rung) and a full batch at the top bucket
+        (max_batch, bucket), the latter with the configured data_parallel.
+        Other (B, Fp) combinations still compile on first use (and persist in
+        the on-disk compile cache); each warm shape is minutes of remote-AOT
+        on a cold TPU, so the default stays at two."""
         import jax.numpy as jnp
 
         config = self._config(sample_rate, dict(self.cfg.defaults))
-        for rung in rungs:
-            for B in batches:
-                fn, _m = _packed_analyze(config, B, rung, config.frame_len)
-                np.asarray(fn(jnp.zeros((B, rung, config.frame_len), jnp.float32)))
+        if shapes is None:
+            shapes = [(1, 64)]
+            if self.cfg.bucket and self.cfg.bucket != 64:
+                shapes.append((self.cfg.max_batch, self.cfg.bucket))
+        for B, rung in shapes:
+            dp = self.cfg.data_parallel
+            eff_dp = dp if dp > 1 and B >= dp else 1
+            fn, _m = _packed_analyze(config, B, rung, config.frame_len, dp=eff_dp)
+            np.asarray(fn(jnp.zeros((B, rung, config.frame_len), jnp.float32)))
 
     @property
     def address(self):

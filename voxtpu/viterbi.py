@@ -17,12 +17,13 @@ from __future__ import annotations
 from dataclasses import dataclass
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from voxtpu.pitch import pitch_frames
 
-__all__ = ["PathConfig", "pitch_path", "pitch_track", "take_best"]
+__all__ = ["PathConfig", "pitch_path", "pitch_path_host", "pitch_track", "take_best"]
 
 
 @dataclass(frozen=True)
@@ -152,6 +153,71 @@ def pitch_path(
     f0 = jnp.take_along_axis(freq, path[:, None], axis=-1)[:, 0]
     s0 = jnp.take_along_axis(strength, path[:, None], axis=-1)[:, 0]
     return f0, s0
+
+
+def pitch_path_host(
+    freq,
+    strength,
+    valid,
+    config: PathConfig = PathConfig(),
+    local_intensity=None,
+):
+    """NumPy twin of `pitch_path` for host-side path search.
+
+    The whole-recording DP is an O(F*C^2) scalar job (~300k flops for a
+    3 s clip) — running it on device would force one compiled shape per
+    recording length, which is exactly what the serving daemon's bucket
+    ladder exists to avoid, and padding the DP is NOT neutral (the
+    backtrace starts at the last frame, and a voiced candidate at the last
+    real frame pays voiced_unvoiced_cost into a zero-padded unvoiced tail).
+    Same op order and first-win argmax tie semantics as the device path;
+    equality is pinned in tests/test_viterbi.py.
+
+    Returns (f0, strength) per frame, (F,) each.
+    """
+    freq = np.asarray(freq)
+    strength = np.asarray(strength)
+    valid = np.asarray(valid)
+    F, C = freq.shape
+    dt = freq.dtype
+    voiced = freq > 0.0
+    fs = np.where(voiced, freq, dt.type(1.0))
+
+    s_voiced = strength - dt.type(config.octave_cost) * np.log2(
+        dt.type(config.ceiling) / fs
+    )
+    if local_intensity is not None:
+        li = np.asarray(local_intensity, dtype=dt)[:, None]
+        s_unvoiced = dt.type(config.voicing_threshold) + np.maximum(
+            dt.type(0.0),
+            dt.type(2.0)
+            - li / dt.type(config.silence_threshold / (1.0 + config.voicing_threshold)),
+        )
+    else:
+        s_unvoiced = strength
+    local = np.where(voiced, s_voiced, s_unvoiced)
+    local = np.where(valid, local, -np.inf).astype(dt)
+
+    score = local[0]
+    backptr = np.zeros((max(F - 1, 0), C), dtype=np.int64)
+    ojc = dt.type(config.octave_jump_cost)
+    vuc = dt.type(config.voiced_unvoiced_cost)
+    for t in range(1, F):
+        vp, vc = voiced[t - 1], voiced[t]
+        both = vp[:, None] & vc[None, :]
+        onev = vp[:, None] ^ vc[None, :]
+        jump = np.abs(np.log2(fs[t - 1][:, None] / fs[t][None, :]))
+        cost = np.where(both, ojc * jump, np.where(onev, vuc, dt.type(0.0)))
+        total = score[:, None] - cost
+        backptr[t - 1] = np.argmax(total, axis=0)
+        score = local[t] + np.max(total, axis=0)
+
+    path = np.zeros(F, dtype=np.int64)
+    path[F - 1] = np.argmax(score)
+    for t in range(F - 2, -1, -1):
+        path[t] = backptr[t][path[t + 1]]
+    idx = np.arange(F)
+    return freq[idx, path], strength[idx, path]
 
 
 def pitch_track(
