@@ -18,6 +18,20 @@ import sys
 import numpy as np
 
 
+def _parse_features(features: str) -> set:
+    """Validated feature-name set. A typo ("fromants") or a stray space must
+    not silently disable a feature — the CLI, the corpus runner, and the
+    serving daemon all funnel through here."""
+    feat = {t.strip() for t in features.split(",") if t.strip()}
+    unknown = feat - {"pitch", "formants", "mfcc", "rms"}
+    if unknown:
+        raise ValueError(
+            f"unknown feature(s) {sorted(unknown)}; "
+            "available: pitch, formants, mfcc, rms"
+        )
+    return feat
+
+
 def build_analysis_config(
     sample_rate: float,
     *,
@@ -38,7 +52,7 @@ def build_analysis_config(
     key for identical requests)."""
     from voxtpu.pipeline import AnalysisConfig, FormantConfig, MfccConfig, PitchConfig
 
-    feat = set(features.split(","))
+    feat = _parse_features(features)
     # --resample-hz contract: the signal is resampled ONCE on-device to the
     # analysis rate (see _prepare_samples) and EVERY feature — pitch, formants,
     # MFCC, RMS — is computed at that rate. (The reference example resamples
@@ -111,11 +125,12 @@ def _prepare_samples(samples, file_rate: float, args):
 
 def _read_rate(path: str) -> float:
     """Sample rate from the WAV header only (no sample data read) — the
-    corpus pass-1 grouping must stay O(1) memory per file."""
-    import wave
+    corpus pass-1 grouping must stay O(1) memory per file. Uses the project's
+    own RIFF walker, not stdlib `wave` (which rejects IEEE-float/extensible
+    files the pass-2 readers decode fine, so the probe would skip them)."""
+    from voxtpu.io_wav import probe_wav_rate
 
-    with wave.open(str(path), "rb") as w:
-        return float(w.getframerate())
+    return probe_wav_rate(path)
 
 
 def _read(path: str, dtype, channel: str = "0"):
@@ -770,6 +785,12 @@ def main(argv=None) -> int:
     sb.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
+    if hasattr(args, "features"):
+        try:
+            _parse_features(args.features)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     return args.fn(args)
 
 

@@ -24,7 +24,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["WavData", "read_wav", "read_wav_bytes"]
+__all__ = ["WavData", "probe_wav_rate", "read_wav", "read_wav_bytes"]
 
 I32_MAX = 2**31 - 1
 
@@ -83,6 +83,32 @@ def _parse_riff(raw: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
     return fmt + (data,)
+
+
+def probe_wav_rate(path: str) -> float:
+    """Sample rate from the WAV header alone — seeks chunk to chunk, never
+    reads sample data (O(1) memory for corpus pass-1 grouping).
+
+    Deliberately NOT stdlib `wave`: that rejects WAVE_FORMAT_IEEE_FLOAT (and,
+    before Python 3.12, WAVE_FORMAT_EXTENSIBLE), so a `wave`-based probe would
+    permanently skip corpus files the full readers here decode fine. The probe
+    does not validate the format code — pass 2's real read reports any
+    unsupported file with the decoder's own error."""
+    with open(str(path), "rb") as f:
+        head = f.read(12)
+        if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                raise ValueError("missing fmt chunk")
+            (ck_len,) = struct.unpack_from("<I", hdr, 4)
+            if hdr[:4] == b"fmt ":
+                body = f.read(16)
+                if len(body) < 16:
+                    raise ValueError("truncated fmt chunk")
+                return float(struct.unpack_from("<I", body, 4)[0])
+            f.seek(ck_len + (ck_len & 1), 1)
 
 
 def read_wav(path: str, dtype=np.float64) -> WavData:

@@ -98,6 +98,20 @@ def f0_outputs(f0: jax.Array, strength: jax.Array) -> dict:
     }
 
 
+def f0_outputs_host(f0: np.ndarray, strength: np.ndarray) -> dict:
+    """NumPy twin of `f0_outputs` for host-side post-passes (the serving
+    daemon's per-request Viterbi runs on trimmed host arrays). One definition
+    of the strength->HNR mapping: adjust it here AND above, never in a
+    caller."""
+    s_best = np.clip(strength, 1e-6, 1.0 - 1e-6)
+    hnr = (10.0 * np.log10(s_best / (1.0 - s_best))).astype(strength.dtype)
+    return {
+        "f0": f0,
+        "f0_strength": strength,
+        "hnr_db": np.where(f0 > 0, hnr, np.asarray(-np.inf, dtype=hnr.dtype)),
+    }
+
+
 @partial(jax.jit, static_argnames=("config", "return_formant_candidates"))
 def analyze_frames(
     frames: jax.Array,

@@ -45,6 +45,15 @@ STRENGTH_SINC_DEPTH = 30  # periodic.rs:433
 REFINE_SINC_DEPTH = 1200  # periodic.rs:444
 
 
+def _sinc_edge_returns(strn, self_lag, pos, nx, bi):
+    """interpolate_sinc's outer early returns (periodic.rs:39-40), applied on
+    top of the Pallas strength eval in parabolic mode: x > nx reads
+    y[offset + nx - 1] (== lag bi-1 here, offset = -bi-1), x < 0 reads y[0] —
+    the exact indices the jnp twin (sinc.py) and the oracle use."""
+    strn = jnp.where(pos > nx, self_lag[:, bi - 1][:, None], strn)
+    return jnp.where(pos < 0.0, self_lag[:, 0][:, None], strn)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -225,9 +234,7 @@ def pitch_frames(
                 iters=0,
                 interpret=backend == "pallas_interpret",
             )
-            # interpolate_sinc's outer early returns (periodic.rs:39-40).
-            strn = jnp.where(pos > nx, self_lag[:, bi][:, None], strn)
-            strn = jnp.where(pos < 0.0, self_lag[:, 0][:, None], strn)
+            strn = _sinc_edge_returns(strn, self_lag, pos, nx, bi)
         else:
             strn = interpolate_sinc(
                 self_lag, offset, nx, pos, STRENGTH_SINC_DEPTH, max_x=max_x

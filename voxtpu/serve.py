@@ -71,8 +71,15 @@ class ServeConfig:
     #: when False, requests may not override analysis params (each distinct
     #: config is a multi-minute cold compile serialized on the dispatcher —
     #: an easy DoS from untrusted clients). Host-side params (channel,
-    #: format, viterbi) stay available.
+    #: format, viterbi) stay available. NOTE: the WAV header's sample rate is
+    #: ALSO part of the compiled-program key (frame_len derives from it), so a
+    #: locked-down deployment should set `allowed_rates` too — otherwise a
+    #: client cycling fake header rates still forces unbounded compiles.
     allow_param_overrides: bool = True
+    #: sample rates (Hz) accepted from request WAV headers; empty = any. Each
+    #: distinct rate is its own compiled program — pin this for untrusted
+    #: clients (see allow_param_overrides).
+    allowed_rates: tuple = ()
     #: analysis defaults applied to requests that don't override them
     defaults: dict = field(default_factory=dict)
 
@@ -217,11 +224,28 @@ class _MicroBatcher:
     def stop(self) -> None:
         self.q.put(_STOP)
         self.thread.join(timeout=10.0)
+        # Whatever still sits in the queue (including items enqueued behind
+        # the sentinel by in-flight handler threads) must error out NOW —
+        # otherwise each waiter blocks the full request_timeout_s (minutes).
+        self._drain_shutdown()
+
+    def _drain_shutdown(self) -> None:
+        while True:
+            try:
+                nxt = self.q.get_nowait()
+            except queue.Empty:
+                return
+            if nxt is _STOP:
+                continue
+            _k, it = nxt
+            it.error = "server shutting down"
+            it.event.set()
 
     def _loop(self) -> None:
         while True:
             head = self.q.get()
             if head is _STOP:
+                self._drain_shutdown()
                 return
             groups: dict = {}
             key, item = head
@@ -520,19 +544,28 @@ class VoxServer:
         viterbi/non-viterbi requests get to share executables."""
         from voxtpu.cli import build_analysis_config
 
-        return build_analysis_config(
-            sample_rate,
-            frame_ms=p.get("frame_ms", 50.0),
-            hop_ms=p.get("hop_ms", 10.0),
-            features=p.get("features", "pitch,formants,mfcc,rms"),
-            fmin=p.get("fmin", 60.0),
-            fmax=p.get("fmax", 600.0),
-            threshold=p.get("threshold", 0.2),
-            n_coeffs=p.get("n_coeffs", 13),
-            mfcc_coeffs=p.get("mfcc_coeffs", 13),
-            pitch_refine=p.get("pitch_refine", "sinc"),
-            refine_depth=p.get("refine_depth"),
-        )
+        if self.cfg.allowed_rates and sample_rate not in self.cfg.allowed_rates:
+            raise RequestError(
+                f"sample rate {sample_rate:g} Hz not served; allowed: "
+                f"{sorted(self.cfg.allowed_rates)}"
+            )
+        try:
+            return build_analysis_config(
+                sample_rate,
+                frame_ms=p.get("frame_ms", 50.0),
+                hop_ms=p.get("hop_ms", 10.0),
+                features=p.get("features", "pitch,formants,mfcc,rms"),
+                fmin=p.get("fmin", 60.0),
+                fmax=p.get("fmax", 600.0),
+                threshold=p.get("threshold", 0.2),
+                n_coeffs=p.get("n_coeffs", 13),
+                mfcc_coeffs=p.get("mfcc_coeffs", 13),
+                pitch_refine=p.get("pitch_refine", "sinc"),
+                refine_depth=p.get("refine_depth"),
+            )
+        except ValueError as e:
+            # e.g. an unknown feature name — a client error, not a 500.
+            raise RequestError(str(e))
 
     def analyze_request(self, body: bytes, query: str):
         """Decode + frame + dispatch one request; returns (format, payload)."""
