@@ -44,12 +44,41 @@ def main():
           f"(frame {resp['frame_len']}, hop {resp['hop']})")
     print("f0 track:", " ".join(f"{v:.1f}" for v in f0))
 
+    # Streaming: recordings longer than any whole-body upload ride the
+    # /stream session API — raw PCM appends, features back per completed
+    # chunk, bounded server memory, whole-stream Viterbi at close.
+    from voxtpu.io_wav import read_wav
+    import numpy as np
+
+    data = read_wav(wav, dtype=np.float32)
+    pcm = np.ascontiguousarray(data.samples, dtype=np.float32).tobytes()
+
+    def post(path, body=b""):
+        c = http.client.HTTPConnection(host, port, timeout=900)
+        c.request("POST", path, body=body)
+        r = json.loads(c.getresponse().read())
+        c.close()
+        return r
+
+    sess = post(f"/stream/open?rate={data.sample_rate}&viterbi=1&chunk_frames=8")
+    sid = sess["session"]
+    n_chunks = 0
+    for i in range(0, len(pcm), 16384):
+        r = post(f"/stream/append?session={sid}", pcm[i:i + 16384])
+        n_chunks += int(r["frames"] > 0)
+    final = post(f"/stream/close?session={sid}")
+    vf0 = final["viterbi"]["f0"]
+    print(f"streamed {final['frames_done']} frames in "
+          f"{n_chunks + 1} chunk responses; viterbi f0 track: "
+          + " ".join(f"{v:.1f}" for v in vf0[:8]) + " ...")
+
     conn = http.client.HTTPConnection(host, port, timeout=60)
     conn.request("GET", "/stats")
     stats = json.loads(conn.getresponse().read())
     conn.close()
     print(f"server stats: {stats['requests']} request(s), "
-          f"batches {stats['batch_size_hist']}, shapes {stats['compiled_shapes']}")
+          f"batches {stats['batch_size_hist']}, shapes {stats['compiled_shapes']}, "
+          f"stream chunks {stats['stream_chunks']}")
     srv.shutdown()
 
 

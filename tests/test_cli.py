@@ -369,3 +369,23 @@ def test_corpus_skips_corrupt_file(tmp_path, capsys):
     assert "error" in manifest[str(wavdir / "bad.wav")]
     assert (outdir / "good.npz").exists()
     assert not (outdir / "bad.npz").exists()
+
+
+def test_cli_rejects_feature_typo(capsys):
+    """A misspelled --features entry exits 2 with the allowed list, before
+    any backend work (ADVICE r4 coverage of _parse_features validation)."""
+    rc = cli_main(["analyze", WAV, "--features", "pitch,formnts"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "formnts" in err and "unknown feature" in err
+
+
+def test_serve_allowed_rates_flag_validation(capsys):
+    """--allowed-rates parse errors exit 2 before any server/compile work;
+    --no-param-overrides without it warns about the header-rate compile DoS
+    (ADVICE r4 medium: the flag must be reachable from the deployment
+    entrypoint)."""
+    rc = cli_main(["serve", "--port", "0", "--allowed-rates", "8000,banana"])
+    assert rc == 2 and "bad --allowed-rates" in capsys.readouterr().err
+    rc = cli_main(["serve", "--port", "0", "--allowed-rates", "-1"])
+    assert rc == 2 and "must be > 0" in capsys.readouterr().err

@@ -213,3 +213,38 @@ def test_cli_read_rejects_negative_channel(tmp_path):
     path = os.path.join(FIXTURES, "short_sample.wav")
     with pytest.raises(IndexError, match="non-negative"):
         _read(path, np.float64, channel="-1")
+
+
+def test_probe_wav_rate_headers(tmp_path):
+    """probe_wav_rate exists precisely for headers stdlib `wave` mishandles
+    (IEEE float, EXTENSIBLE) and must walk leading non-fmt chunks; errors on
+    non-RIFF and fmt-less files (ADVICE r4 coverage)."""
+    import struct
+
+    from voxtpu.io_wav import probe_wav_rate
+
+    f = tmp_path / "f32.wav"
+    f.write_bytes(_riff(_fmt_plain(3, 1, 22050, 32), struct.pack("<f", 0.5)))
+    assert probe_wav_rate(str(f)) == 22050.0
+
+    e = tmp_path / "ext.wav"
+    e.write_bytes(_riff(_fmt_extensible(1, 2, 48000, 32, 24), b"\0" * 8))
+    assert probe_wav_rate(str(e)) == 48000.0
+
+    # fmt chunk not first: the probe seeks chunk to chunk.
+    raw = _riff(_fmt_plain(1, 1, 11025, 16), b"\0\0")
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    reordered = raw[:12] + lst + raw[12:]
+    reordered = b"RIFF" + struct.pack("<I", len(reordered) - 8) + reordered[8:]
+    g = tmp_path / "list.wav"
+    g.write_bytes(reordered)
+    assert probe_wav_rate(str(g)) == 11025.0
+
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"definitely not a wav")
+    with pytest.raises(ValueError, match="RIFF"):
+        probe_wav_rate(str(bad))
+    nofmt = tmp_path / "nofmt.wav"
+    nofmt.write_bytes(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    with pytest.raises(ValueError, match="missing fmt"):
+        probe_wav_rate(str(nofmt))

@@ -263,3 +263,43 @@ def test_escaped_lag_fallback_catches_shifted_vertex():
     # within the +-1-lag bracket.
     assert np.any((vf > 60.0) & (vf < 66.0)), vf
     assert np.any(np.abs(vf - 150.0) < 2.0), vf
+
+
+def test_parabolic_pos_past_nx_edge_backends_agree():
+    """parabolic mode with a candidate whose sinc position escapes the
+    buffer (pos > nx, i.e. freq < sr/bi): the Pallas path applies the outer
+    early return (pitch._sinc_edge_returns, the y[bi-1] select) on top of
+    the kernel eval — it must match the jnp twin, whose interpolate_sinc
+    handles x > nx internally (periodic.rs:39-40). ADVICE r4 coverage.
+
+    A natural in-band maximum can't reach pos > nx (its lag is < bi), but
+    the reference's parabolic vertex (periodic.rs:420-425) can shift far
+    past the integer peak when d2r is small: rev=-3.6, peak=-1.0, fwd=-1.5
+    gives dr/d2r = 1.05/0.1 = +10.5 lags. Craft that triple at lag 62 via
+    precomputed_ac (the normalize / hanning_lag transforms are inverted
+    here; both are scale-free for the vertex)."""
+    from voxtpu.windows import hanning_lag
+
+    n, sr = 128, 8000.0  # bi = 64; nx = 129; pos > nx for freq < sr/64 = 125
+    bi = n // 2
+    desired = np.zeros(n)
+    desired[0] = 10.0  # dominates the row max (normalization anchor)
+    desired[61], desired[62], desired[63] = -3.6, -1.0, -1.5
+    ac = desired * np.asarray(hanning_lag(n))  # undone by pitch's /hl
+    frames = jnp.zeros((1, n))
+    outs = {}
+    for be in ("jnp", "pallas_interpret"):
+        f, s, v = pitch_frames(
+            frames, sr, fmin=60.0, fmax=400.0, max_candidates=8,
+            refine="parabolic", refine_backend=be,
+            precomputed_ac=jnp.asarray(ac)[None, :],
+        )
+        outs[be] = (np.asarray(f), np.asarray(s), np.asarray(v))
+    f_j, s_j, v_j = outs["jnp"]
+    f_p, s_p, v_p = outs["pallas_interpret"]
+    np.testing.assert_array_equal(v_j, v_p)
+    np.testing.assert_allclose(f_p, f_j, rtol=1e-6, atol=0)
+    np.testing.assert_allclose(s_p, s_j, rtol=1e-6, atol=1e-9)
+    # The edge case actually fired: a valid candidate sits past the buffer
+    # (vertex lag 62 + 10.5 = 72.5 > bi <=> freq = sr/72.5 ~ 110 < sr/bi).
+    assert np.any((f_j > 0) & (f_j < sr / bi) & v_j), (f_j, v_j)

@@ -42,6 +42,7 @@ from voxtpu.pipeline import (
     analyze_long,
     analyze_stream,
     finalize_viterbi,
+    StreamAnalyzer,
 )
 
 __version__ = "0.1.0"
@@ -106,5 +107,6 @@ __all__ = [
     "analyze_frames",
     "analyze_long",
     "analyze_stream",
+    "StreamAnalyzer",
     "finalize_viterbi",
 ]

@@ -626,6 +626,29 @@ def cmd_serve(args) -> int:
         "viterbi": args.viterbi,
         "channel": args.channel,
     }
+    allowed_rates = ()
+    if args.allowed_rates:
+        try:
+            allowed_rates = tuple(
+                float(r) for r in str(args.allowed_rates).split(",") if r.strip()
+            )
+        except ValueError:
+            print(f"error: bad --allowed-rates: {args.allowed_rates!r} "
+                  "(expected comma-separated Hz values)", file=sys.stderr)
+            return 2
+        if not all(r > 0 for r in allowed_rates) or not allowed_rates:
+            print("error: --allowed-rates values must be > 0", file=sys.stderr)
+            return 2
+    if args.no_param_overrides and not allowed_rates:
+        # The WAV header's sample rate is part of the compiled-program key, so
+        # locking analysis params without pinning rates still leaves the
+        # unbounded-compile DoS open (serve.py ServeConfig notes).
+        print(
+            "warning: --no-param-overrides without --allowed-rates: clients "
+            "can still force fresh compiles by cycling WAV header sample "
+            "rates; add --allowed-rates 44100,16000,... to close it",
+            file=sys.stderr,
+        )
     server = VoxServer(
         ServeConfig(
             host=args.host,
@@ -635,12 +658,17 @@ def cmd_serve(args) -> int:
             data_parallel=args.data_parallel,
             bucket=_resolve_bucket(args),
             allow_param_overrides=not args.no_param_overrides,
+            allowed_rates=allowed_rates,
+            stream_chunk_frames=args.stream_chunk_frames,
             defaults=defaults,
         )
     )
     if not args.no_warmup:
         print("warming up (first pipeline compile)...", file=sys.stderr, flush=True)
-        server.warmup(sample_rate=args.warmup_hz)
+        if allowed_rates:
+            server.warmup()  # every pinned rate serves its first request warm
+        else:
+            server.warmup(sample_rate=args.warmup_hz)
     server.serve_forever()
     return 0
 
@@ -775,6 +803,17 @@ def main(argv=None) -> int:
         help="reject per-request analysis parameter overrides (each distinct "
         "config is a multi-minute cold compile — lock down for untrusted "
         "clients; channel/format/viterbi stay available)",
+    )
+    ss.add_argument(
+        "--allowed-rates", default="", metavar="HZ,HZ,...",
+        help="sample rates accepted from request WAV headers / stream opens "
+        "(comma-separated; empty = any). Each distinct rate is its own "
+        "multi-minute compile — pin this alongside --no-param-overrides for "
+        "untrusted clients; every pinned rate is warmed at startup",
+    )
+    ss.add_argument(
+        "--stream-chunk-frames", type=int, default=512, metavar="N",
+        help="frames per /stream session chunk (the streaming compiled shape)",
     )
     ss.add_argument("--warmup-hz", type=float, default=44100.0,
                     help="sample rate the warmup compile assumes")

@@ -357,9 +357,18 @@ def dryrun_multichip(n_devices: int, topologies=None) -> None:
     """
     # Exercise the multi-host init path (a 1-process no-op cluster) as far as
     # a single host allows — must precede any backend-initializing jax call.
+    # Ephemeral coordinator port: a fixed one collides when several dryrun
+    # children run concurrently (the coordination service aborts on a second
+    # "incarnation" of task 0).
     try:
+        import socket
+
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
         init_distributed(
-            coordinator_address="localhost:12515", num_processes=1, process_id=0
+            coordinator_address=f"localhost:{port}", num_processes=1, process_id=0
         )
     except Exception as e:  # backend already initialized (e.g. under pytest)
         print(f"init_distributed skipped: {type(e).__name__}: {e}")

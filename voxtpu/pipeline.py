@@ -26,7 +26,7 @@ from voxtpu.mfcc import mfcc
 from voxtpu.pitch import pitch_frames
 from voxtpu.windows import hann
 
-__all__ = ["PitchConfig", "FormantConfig", "MfccConfig", "AnalysisConfig", "analyze_frames", "analyze", "analyze_batch", "analyze_long"]
+__all__ = ["PitchConfig", "FormantConfig", "MfccConfig", "AnalysisConfig", "analyze_frames", "analyze", "analyze_batch", "analyze_long", "StreamAnalyzer", "analyze_stream", "finalize_viterbi"]
 
 
 @dataclass(frozen=True)
@@ -415,63 +415,110 @@ def analyze_long(samples, config: AnalysisConfig, chunk_frames: int = 4096) -> d
     return full
 
 
+class StreamAnalyzer:
+    """Incremental push-style streaming analysis with an exact formant carry.
+
+    The state machine behind `analyze_stream`, exposed directly for callers
+    that receive audio asynchronously (the serving daemon's `/stream/*`
+    endpoints): `feed(block)` accepts an arbitrarily-sized 1-D sample block
+    and returns the list of completed `chunk_frames`-frame feature chunks it
+    unlocked (possibly empty), `finish()` flushes the final partial chunk.
+    Memory is bounded: one chunk of frames plus a ``frame_len - hop`` sample
+    tail. The McCandless formant carry threads exactly across chunks, so the
+    concatenation of all returned chunks equals the one-shot `analyze` of the
+    concatenated input. Each chunk carries one internal ``_stream_local_peak``
+    key consumed by `finalize_viterbi` (underscore keys are not features).
+
+    ``config.pitch.viterbi`` is rejected: the path search needs the whole
+    recording (collect the chunks and call `finalize_viterbi` at end of
+    stream).
+
+    step: optional override of the per-chunk device call, for runtimes that
+    pack the feature dict into fewer device fetches (voxtpu/serve.py).
+    Signature ``step(frames, nf, est) -> (feature_dict, next_est)`` where
+    `frames` is the zero-padded (chunk_frames, n) array, `nf` the real frame
+    count, and `est` the opaque carry threaded between calls (None first).
+    The returned dict must include ``_stream_local_peak`` and is trimmed to
+    `nf` frames here.
+    """
+
+    def __init__(self, config: AnalysisConfig, chunk_frames: int = 512, step=None):
+        if config.pitch.enabled and config.pitch.viterbi:
+            raise ValueError(
+                "streaming analysis cannot run Viterbi (whole-recording DP); "
+                "stream with viterbi=False and call finalize_viterbi(chunks, "
+                "config) on the collected chunks at end of stream"
+            )
+        self.config = config
+        self.chunk_frames = int(chunk_frames)
+        self._hop, self._n = config.hop, config.frame_len
+        self._chunk_samples = (self.chunk_frames - 1) * self._hop + self._n
+        self._est = None
+        self._buf = None
+        self._step = step if step is not None else self._default_step
+        self.frames_done = 0
+
+    def _default_step(self, frames, nf, est):
+        out = analyze_frames(frames, self.config, formant_estimates=est)
+        if self.config.formant.enabled:
+            est = (out["formant_freqs"][nf - 1], out["formant_bws"][nf - 1])
+        # Per-frame intensity summary so finalize_viterbi can reconstruct the
+        # whole-recording silence-aware path after the stream ends.
+        out["_stream_local_peak"] = jnp.max(jnp.abs(frames), axis=-1)
+        return out, est
+
+    def _emit_chunk(self, nf: int) -> dict:
+        frames = frame_signal(
+            jnp.asarray(self._buf[: (nf - 1) * self._hop + self._n]),
+            self._n, self._hop,
+        )
+        if nf < self.chunk_frames:
+            frames = jnp.pad(frames, [(0, self.chunk_frames - nf), (0, 0)])
+        out, self._est = self._step(frames, nf, self._est)
+        self._buf = self._buf[nf * self._hop :]  # keep the overlap tail
+        self.frames_done += nf
+        return {k: v[:nf] for k, v in out.items()}
+
+    @property
+    def buffered_samples(self) -> int:
+        return 0 if self._buf is None else len(self._buf)
+
+    def feed(self, block) -> list:
+        """Append a sample block; return the completed chunks it unlocked."""
+        block = np.asarray(block).ravel()
+        if block.size:
+            self._buf = (
+                block if self._buf is None else np.concatenate([self._buf, block])
+            )
+        chunks = []
+        while self._buf is not None and len(self._buf) >= self._chunk_samples:
+            chunks.append(self._emit_chunk(self.chunk_frames))
+        return chunks
+
+    def finish(self) -> list:
+        """Flush the final partial chunk (0 or 1 chunks)."""
+        nf = (
+            0 if self._buf is None
+            else min(num_frames(len(self._buf), self._n, self._hop), self.chunk_frames)
+        )
+        if nf == 0:
+            return []
+        return [self._emit_chunk(nf)]
+
+
 def analyze_stream(blocks, config: AnalysisConfig, chunk_frames: int = 512):
     """Streaming analysis: a generator over an iterable of sample blocks.
 
     Accepts arbitrarily-sized 1-D sample blocks (a microphone callback, a
     pipe, a file reader) and yields per-chunk feature dicts of up to
-    ``chunk_frames`` frames each, as soon as enough audio has arrived. Memory
-    is bounded: one chunk of frames plus a ``frame_len - hop`` sample tail.
-    The McCandless formant carry is threaded exactly across yields, so the
-    concatenation of all yielded chunks equals the one-shot `analyze` of the
-    concatenated input (the serving analogue of `analyze_long`), plus one
-    internal ``_stream_local_peak`` key per chunk consumed by
-    `finalize_viterbi` (underscore keys are not features; `write_features`
-    skips them).
-
-    ``config.pitch.viterbi`` is rejected: the path search needs the whole
-    recording (run `pitch_path` over the collected candidates afterwards, as
-    `analyze_long` does, if you need it on a stream).
-    """
-    if config.pitch.enabled and config.pitch.viterbi:
-        raise ValueError(
-            "analyze_stream cannot run Viterbi (whole-recording DP); stream "
-            "with viterbi=False and call finalize_viterbi(chunks, config) on "
-            "the collected chunks at end of stream"
-        )
-    hop, n = config.hop, config.frame_len
-    chunk_samples = (chunk_frames - 1) * hop + n
-    est = None
-    buf = None
-    done = False
-    it = iter(blocks)
-    while True:
-        while not done and (buf is None or len(buf) < chunk_samples):
-            try:
-                blk = np.asarray(next(it)).ravel()
-            except StopIteration:
-                done = True
-                break
-            buf = blk if buf is None else np.concatenate([buf, blk])
-        nf = 0 if buf is None else min(num_frames(len(buf), n, hop), chunk_frames)
-        if nf == 0:
-            if done:
-                return
-            continue  # empty blocks; keep pulling
-        frames = frame_signal(jnp.asarray(buf[: (nf - 1) * hop + n]), n, hop)
-        if nf < chunk_frames:
-            frames = jnp.pad(frames, [(0, chunk_frames - nf), (0, 0)])
-        out = analyze_frames(frames, config, formant_estimates=est)
-        if config.formant.enabled:
-            est = (out["formant_freqs"][nf - 1], out["formant_bws"][nf - 1])
-        buf = buf[nf * hop :]  # keep the (frame_len - hop) overlap tail
-        chunk = {k: v[:nf] for k, v in out.items()}
-        # Per-frame intensity summary so finalize_viterbi can reconstruct the
-        # whole-recording silence-aware path after the stream ends. The
-        # underscore marks it internal: write_features skips it, and
-        # finalize_viterbi pops it.
-        chunk["_stream_local_peak"] = jnp.max(jnp.abs(frames[:nf]), axis=-1)
-        yield chunk
+    ``chunk_frames`` frames each, as soon as enough audio has arrived — a thin
+    pull-style generator over `StreamAnalyzer` (see its docstring for the
+    carry/memory/equality contract; `write_features` skips the internal
+    underscore keys)."""
+    analyzer = StreamAnalyzer(config, chunk_frames)
+    for blk in blocks:
+        yield from analyzer.feed(blk)
+    yield from analyzer.finish()
 
 
 def finalize_viterbi(chunks, config: AnalysisConfig) -> dict:

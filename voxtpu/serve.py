@@ -21,8 +21,23 @@ that loop becomes at scale:
 
 Endpoints:
   POST /analyze?<params>   WAV bytes in -> JSON (default) or npz features
+  POST /stream/open?rate=<Hz>&<params>   open a streaming session -> session id
+  POST /stream/append?session=ID        raw PCM bytes in -> completed chunks
+  POST /stream/close?session=ID         flush tail (+ whole-stream Viterbi)
+  POST /stream/abort?session=ID         drop a session
   GET  /healthz            liveness + backend/device inventory
   GET  /stats              request/batch/latency counters
+
+Streaming (the reference's incremental FormantExtractor iterator idiom,
+/root/reference/src/spectrum.rs:336-369, over HTTP): /analyze buffers the
+whole WAV body (max_body_bytes cap), so an hour-long recording cannot ride
+it. A /stream session instead accepts raw interleaved little-endian PCM
+(encoding=f32le|s16le, channels=N, rate=<Hz> declared at open) in
+arbitrarily-sized append bodies; each completed `chunk_frames`-frame chunk
+runs warm on device with the formant carry threaded exactly (device-resident
+between appends) and its features return on the append that completed it.
+Server memory is bounded regardless of recording length; the concatenation
+of all returned chunks equals the one-shot /analyze of the same audio.
 
 Request params (all optional; defaults come from the server's CLI flags):
   frame_ms, hop_ms, fmin, fmax, threshold, n_coeffs, mfcc_coeffs,
@@ -42,6 +57,8 @@ import time
 import traceback
 import queue
 import urllib.parse
+import uuid
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -80,6 +97,15 @@ class ServeConfig:
     #: distinct rate is its own compiled program — pin this for untrusted
     #: clients (see allow_param_overrides).
     allowed_rates: tuple = ()
+    #: frames per streaming-session chunk (each session's compiled shape);
+    #: clients may override at /stream/open unless param overrides are locked
+    stream_chunk_frames: int = 512
+    #: concurrent streaming sessions (each holds one chunk of samples + the
+    #: device-resident formant carry; viterbi sessions also accumulate
+    #: trimmed pitch candidates for the end-of-stream DP)
+    max_streams: int = 64
+    #: streaming sessions idle longer than this are garbage-collected
+    stream_idle_timeout_s: float = 600.0
     #: analysis defaults applied to requests that don't override them
     defaults: dict = field(default_factory=dict)
 
@@ -119,17 +145,47 @@ def _pow2_batch(b: int, max_batch: int) -> int:
     return min(p, max_batch)
 
 
-#: Compiled-program cache, FIFO-bounded: every entry is a full XLA
-#: executable (minutes of TPU compile each), and the key includes the
-#: request config — without a bound, a client varying an analysis param per
-#: request would grow it monotonically. 64 programs is far above any sane
-#: deployment's working set; see ServeConfig.allow_param_overrides for
-#: stopping the compile COST itself.
-_PACKED_CACHE: dict = {}
-_PACKED_CACHE_MAX = 64
+class _LRU:
+    """Compiled-program cache, LRU-bounded and per-server: every entry is a
+    full XLA executable (minutes of TPU compile each), and the key includes
+    the request config — without a bound, a client varying an analysis param
+    per request would grow it monotonically, and FIFO eviction could evict
+    the hot shape under churn. Per-server (not module-global) so two
+    VoxServers in one process can't cross-talk through shared executables
+    keyed only by config, and `shutdown()` can release them. 64 programs is
+    far above any sane deployment's working set; see
+    ServeConfig.allow_param_overrides for stopping the compile COST itself."""
+
+    def __init__(self, maxsize: int = 64):
+        self.maxsize = maxsize
+        self._d: OrderedDict = OrderedDict()
+        self._lock = threading.Lock()
+
+    def get(self, key):
+        with self._lock:
+            v = self._d.get(key)
+            if v is not None:
+                self._d.move_to_end(key)
+            return v
+
+    def put(self, key, value) -> None:
+        with self._lock:
+            if key in self._d:
+                self._d.move_to_end(key)
+            elif len(self._d) >= self.maxsize:
+                self._d.popitem(last=False)
+            self._d[key] = value
+
+    def clear(self) -> None:
+        with self._lock:
+            self._d.clear()
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._d)
 
 
-def _packed_analyze(config, B: int, Fp: int, n: int, dp: int = 1):
+def _packed_analyze(config, B: int, Fp: int, n: int, dp: int = 1, cache: _LRU | None = None):
     """One compiled program per (config, B, Fp, n, dp) that runs
     `analyze_batch` AND flattens every feature into a single (B, total)
     float32 buffer.
@@ -147,9 +203,10 @@ def _packed_analyze(config, B: int, Fp: int, n: int, dp: int = 1):
     traffic is the input scatter and the packed-output gather.
     """
     key = (config, B, Fp, n, dp)
-    hit = _PACKED_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if cache is not None:
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
     import jax
     import jax.numpy as jnp
 
@@ -184,9 +241,65 @@ def _packed_analyze(config, B: int, Fp: int, n: int, dp: int = 1):
     else:
         fn = jax.jit(packed)
 
-    if len(_PACKED_CACHE) >= _PACKED_CACHE_MAX:
-        _PACKED_CACHE.pop(next(iter(_PACKED_CACHE)))
-    _PACKED_CACHE[key] = (fn, manifest)
+    if cache is not None:
+        cache.put(key, (fn, manifest))
+    return fn, manifest
+
+
+def _packed_stream(config, Cf: int, n: int, cache: _LRU | None = None):
+    """One compiled program per (config, Cf, n) running a single streaming
+    chunk: `analyze_frames` with the carried formant estimates
+    (/root/reference/src/spectrum.rs:336-369 — the incremental
+    FormantExtractor iterator idiom), the per-frame peak for the
+    end-of-stream Viterbi, and ONE packed (Cf, total) float32 output buffer,
+    so each append costs a single device fetch through the axon tunnel. The
+    (est_f, est_b) carry stays ON DEVICE between appends — threading it
+    costs no roundtrips. `nf` (the chunk's real frame count) is traced, so
+    partial final chunks reuse the same executable."""
+    key = ("stream", config, Cf, n)
+    if cache is not None:
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+    import jax
+    import jax.numpy as jnp
+
+    from voxtpu.pipeline import analyze_frames
+
+    R = len(config.formant.estimates)
+    est_spec = jax.ShapeDtypeStruct((R,), jnp.float32)
+
+    def run(frames, nf, est_f, est_b):
+        out = analyze_frames(frames, config, formant_estimates=(est_f, est_b))
+        out["_stream_local_peak"] = jnp.max(jnp.abs(frames), axis=-1)
+        if config.formant.enabled:
+            # Carry from the last REAL frame (padded rows are a tracker
+            # no-op, but the NEXT chunk must start from frame nf-1's state).
+            new = (out["formant_freqs"][nf - 1], out["formant_bws"][nf - 1])
+        else:
+            new = (est_f, est_b)
+        return out, new
+
+    spec, _ = jax.eval_shape(
+        run,
+        jax.ShapeDtypeStruct((Cf, n), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.int32),
+        est_spec,
+        est_spec,
+    )
+    manifest = [(k, tuple(v.shape), np.dtype(v.dtype)) for k, v in sorted(spec.items())]
+
+    def packed(frames, nf, est_f, est_b):
+        out, new = run(frames, nf, est_f, est_b)
+        flat = jnp.concatenate(
+            [out[k].reshape(Cf, -1).astype(jnp.float32) for k, _s, _d in manifest],
+            axis=1,
+        )
+        return flat, new
+
+    fn = jax.jit(packed)
+    if cache is not None:
+        cache.put(key, (fn, manifest))
     return fn, manifest
 
 
@@ -211,17 +324,30 @@ class _MicroBatcher:
     queue, groups same-(config, F) items inside the gather window, and runs
     each group as one fixed-shape `analyze_batch` dispatch."""
 
-    def __init__(self, cfg: ServeConfig, stats: "_Stats"):
+    def __init__(self, cfg: ServeConfig, stats: "_Stats", cache: _LRU):
         self.cfg = cfg
         self.stats = stats
+        self.cache = cache
         self.q: queue.Queue = queue.Queue()
+        self._stopping = False
         self.thread = threading.Thread(target=self._loop, daemon=True, name="voxtpu-batcher")
         self.thread.start()
 
     def submit(self, key, item: _Pending) -> None:
+        if self._stopping:
+            # Fail fast: a submit landing after stop()'s final drain would
+            # otherwise block its waiter the full request_timeout_s.
+            item.error = "server shutting down"
+            item.event.set()
+            return
         self.q.put((key, item))
+        if self._stopping:
+            # stop() may have set the flag and drained between our check and
+            # our put; drain again so THIS item can't be stranded.
+            self._drain_shutdown()
 
     def stop(self) -> None:
+        self._stopping = True
         self.q.put(_STOP)
         self.thread.join(timeout=10.0)
         # Whatever still sits in the queue (including items enqueued behind
@@ -287,7 +413,9 @@ class _MicroBatcher:
             stack = np.zeros((B, Fp, n), dtype=np.float32)
             for i, it in enumerate(items):
                 stack[i] = it.frames
-            packed_fn, manifest = _packed_analyze(config, B, Fp, n, dp=eff_dp)
+            packed_fn, manifest = _packed_analyze(
+                config, B, Fp, n, dp=eff_dp, cache=self.cache
+            )
             t0 = time.monotonic()
             flat = np.asarray(packed_fn(jnp.asarray(stack)))
             dt = time.monotonic() - t0
@@ -314,6 +442,9 @@ class _Stats:
         self.shapes: set = set()
         self.latencies: list = []  # rolling, seconds (end-to-end per request)
         self.device_s = 0.0
+        self.stream_sessions = 0
+        self.stream_chunks = 0
+        self.stream_frames = 0
         self.started = time.time()
 
     def record_request(self, latency_s: float, ok: bool) -> None:
@@ -334,6 +465,17 @@ class _Stats:
             self.shapes.add((B, Fp, n))
             self.device_s += device_s
 
+    def record_stream_chunk(self, nf: int, device_s: float, shape) -> None:
+        with self.lock:
+            self.stream_chunks += 1
+            self.stream_frames += nf
+            self.shapes.add(shape)
+            self.device_s += device_s
+
+    def record_stream_session(self) -> None:
+        with self.lock:
+            self.stream_sessions += 1
+
     def snapshot(self) -> dict:
         with self.lock:
             lat = sorted(self.latencies)
@@ -351,7 +493,154 @@ class _Stats:
                 "compiled_shapes": sorted(list(self.shapes)),
                 "latency_ms": {"p50": pct(0.50), "p95": pct(0.95), "max": pct(1.0)},
                 "device_time_s": round(self.device_s, 3),
+                "stream_sessions": self.stream_sessions,
+                "stream_chunks": self.stream_chunks,
+                "stream_frames": self.stream_frames,
             }
+
+
+def _viterbi_host(result: dict, local_peak: np.ndarray, fmax: float) -> dict:
+    """Whole-recording Viterbi path search on TRIMMED host-side candidates
+    (see VoxServer._config for why it never runs in the padded device
+    program); returns the f0/f0_strength/hnr_db feature update."""
+    from voxtpu.pipeline import f0_outputs_host
+    from voxtpu.viterbi import PathConfig, pitch_path_host
+
+    intensity = local_peak / np.maximum(np.max(local_peak), 1e-30)
+    f0, s0 = pitch_path_host(
+        result["pitch_candidates_freq"],
+        result["pitch_candidates_strength"],
+        result["pitch_candidates_valid"],
+        PathConfig(ceiling=fmax),
+        local_intensity=intensity,
+    )
+    return f0_outputs_host(f0, s0)
+
+
+_STREAM_PARAMS = {"rate", "encoding", "channels", "chunk_frames"}
+_STREAM_ENCODINGS = ("f32le", "s16le")
+
+
+class _StreamSession:
+    """One `/stream/*` session: byte-level PCM reassembly + channel selection
+    in front of a packed `voxtpu.pipeline.StreamAnalyzer`.
+
+    Wire format is raw interleaved little-endian PCM at the rate/encoding/
+    channels declared at `/stream/open` — no per-request WAV framing, because
+    the point is recordings LONGER than any whole-body upload
+    (`max_body_bytes` applies per append, never to the recording). Appends
+    may split samples and frames arbitrarily: a partial-sample byte tail and
+    the analyzer's ``frame_len - hop`` sample tail carry across appends, so
+    server memory stays bounded regardless of stream length. The formant
+    carry lives ON DEVICE between appends (`_packed_stream`), matching the
+    reference's incremental FormantExtractor iterator
+    (/root/reference/src/spectrum.rs:336-369) with exact state hand-off.
+    Viterbi sessions additionally accumulate the trimmed per-chunk pitch
+    candidates + frame peaks — the whole-recording DP inherently needs them —
+    and run `pitch_path_host` once at close."""
+
+    _DTYPES = {"f32le": np.dtype("<f4"), "s16le": np.dtype("<i2")}
+
+    def __init__(self, sid: str, config, p: dict, cache: _LRU, stats: _Stats,
+                 chunk_frames: int):
+        from voxtpu.pipeline import StreamAnalyzer
+
+        self.sid = sid
+        self.config = config
+        self.cache = cache
+        self.stats = stats
+        self.lock = threading.Lock()
+        self.last_used = time.monotonic()
+        self.encoding = p.get("encoding", "f32le")
+        self.dtype = self._DTYPES[self.encoding]
+        self.channels = int(p.get("channels", 1))
+        self.channel = str(p.get("channel", "0"))
+        self.fmt = p.get("format", "json")
+        self.byte_tail = b""
+        self.closed = False
+        self.viterbi = bool(p.get("viterbi")) and config.pitch.enabled
+        self._vit_acc: list = []
+        self.analyzer = StreamAnalyzer(config, chunk_frames, step=self._packed_step)
+
+    # StreamAnalyzer step override: one packed dispatch + ONE fetch per chunk
+    # (each naive per-feature fetch is a ~25 ms tunnel roundtrip).
+    def _packed_step(self, frames, nf, est):
+        import jax.numpy as jnp
+
+        n = self.config.frame_len
+        Cf = self.analyzer.chunk_frames
+        fn, manifest = _packed_stream(self.config, Cf, n, cache=self.cache)
+        if est is None:
+            est_f = jnp.asarray(self.config.formant.estimates, dtype=jnp.float32)
+            est = (est_f, jnp.full_like(est_f, self.config.formant.estimate_bandwidth))
+        t0 = time.monotonic()
+        flat, new_est = fn(jnp.asarray(frames, jnp.float32), jnp.int32(nf), *est)
+        flat = np.asarray(flat)  # the only roundtrip; new_est stays on device
+        self.stats.record_stream_chunk(nf, time.monotonic() - t0, (1, Cf, n))
+        return _unpack(flat, manifest), new_est
+
+    def _decode(self, body: bytes) -> np.ndarray:
+        data = self.byte_tail + body
+        unit = self.dtype.itemsize * self.channels
+        keep = len(data) // unit * unit
+        self.byte_tail = data[keep:]
+        x = np.frombuffer(data[:keep], dtype=self.dtype)
+        if self.dtype.kind == "i":
+            # The reference's integer normalization at 16 valid bits:
+            # s / (i32::MAX >> 16) == s / 32767 (tests/lib.rs:17-19).
+            x = x.astype(np.float32) / 32767.0
+        else:
+            x = x.astype(np.float32)
+        if self.channels > 1:
+            x = x.reshape(-1, self.channels)
+            mono, _note = _select_channel(x, self.channel)
+            return np.ascontiguousarray(mono, dtype=np.float32)
+        return x
+
+    def _collect(self, chunks: list) -> tuple[int, dict]:
+        """Accumulate viterbi state; concatenate the client-visible features."""
+        if self.viterbi:
+            for c in chunks:
+                self._vit_acc.append({
+                    "freq": np.asarray(c["pitch_candidates_freq"]),
+                    "strength": np.asarray(c["pitch_candidates_strength"]),
+                    "valid": np.asarray(c["pitch_candidates_valid"]),
+                    "peak": np.asarray(c["_stream_local_peak"]),
+                })
+        feats: dict = {}
+        nf = 0
+        if chunks:
+            keys = [k for k in chunks[0] if not k.startswith("_")]
+            feats = {
+                k: np.concatenate([np.asarray(c[k]) for c in chunks]) for k in keys
+            }
+            nf = int(sum(np.asarray(c["_stream_local_peak"]).shape[0] for c in chunks))
+        return nf, feats
+
+    def append(self, body: bytes) -> tuple[int, dict]:
+        self.last_used = time.monotonic()
+        return self._collect(self.analyzer.feed(self._decode(body)))
+
+    def close(self, body: bytes) -> tuple[int, dict, dict | None]:
+        """Flush the tail chunk; run the end-of-stream Viterbi if requested.
+        Returns (tail_frames, tail_features, viterbi_features_or_None) where
+        the viterbi features span the WHOLE stream (frames_done long)."""
+        chunks = self.analyzer.feed(self._decode(body)) if body else []
+        chunks += self.analyzer.finish()
+        nf, feats = self._collect(chunks)
+        vit = None
+        if self.viterbi:
+            vit = {}
+            if self._vit_acc:
+                full = {
+                    "pitch_candidates_freq": np.concatenate([a["freq"] for a in self._vit_acc]),
+                    "pitch_candidates_strength": np.concatenate([a["strength"] for a in self._vit_acc]),
+                    "pitch_candidates_valid": np.concatenate([a["valid"] for a in self._vit_acc]),
+                }
+                peak = np.concatenate([a["peak"] for a in self._vit_acc])
+                vit = _viterbi_host(full, peak, self.config.pitch.fmax)
+        self.closed = True
+        return nf, feats, vit
 
 
 def _frame_host(x: np.ndarray, frame_len: int, hop: int) -> np.ndarray:
@@ -423,7 +712,10 @@ class VoxServer:
             )
         self.cfg = cfg
         self.stats = _Stats()
-        self.batcher = _MicroBatcher(cfg, self.stats)
+        self.cache = _LRU()
+        self.batcher = _MicroBatcher(cfg, self.stats, self.cache)
+        self._streams: dict = {}
+        self._streams_lock = threading.Lock()
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -440,27 +732,41 @@ class VoxServer:
                 else:
                     self._json(404, {"error": f"unknown path {path}"})
 
+            _POST_ROUTES = (
+                "/analyze", "/stream/open", "/stream/append", "/stream/close",
+                "/stream/abort",
+            )
+
             def do_POST(self):  # noqa: N802
                 t0 = time.monotonic()
                 parsed = urllib.parse.urlparse(self.path)
-                if parsed.path != "/analyze":
-                    self._json(404, {"error": f"unknown path {parsed.path}"})
+                path = parsed.path
+                if path not in self._POST_ROUTES:
+                    self._json(404, {"error": f"unknown path {path}"})
                     return
                 ok = False
                 try:
-                    length = int(self.headers.get("Content-Length", 0))
-                    if length <= 0:
-                        raise RequestError("empty body (expected WAV bytes)")
+                    length = int(self.headers.get("Content-Length", 0) or 0)
                     if length > server.cfg.max_body_bytes:
                         raise RequestError(
-                            f"body too large ({length} > {server.cfg.max_body_bytes})"
+                            f"body too large ({length} > {server.cfg.max_body_bytes}"
+                            "); for long recordings use /stream/open + append"
                         )
-                    body = self.rfile.read(length)
-                    fmt, payload = server.analyze_request(body, parsed.query)
-                    if fmt == "npz":
-                        self._bytes(200, payload, "application/octet-stream")
-                    else:
-                        self._json(200, payload)
+                    body = self.rfile.read(length) if length > 0 else b""
+                    if path == "/analyze":
+                        if not body:
+                            raise RequestError("empty body (expected WAV bytes)")
+                        self._emit(*server.analyze_request(body, parsed.query))
+                    elif path == "/stream/open":
+                        self._json(200, server.stream_open(parsed.query))
+                    elif path == "/stream/append":
+                        if not body:
+                            raise RequestError("empty body (expected raw PCM bytes)")
+                        self._emit(*server.stream_append(parsed.query, body))
+                    elif path == "/stream/close":
+                        self._emit(*server.stream_close(parsed.query, body))
+                    else:  # /stream/abort
+                        self._json(200, server.stream_abort(parsed.query))
                     ok = True
                 except RequestError as e:
                     self._json(400, {"error": str(e)})
@@ -470,6 +776,12 @@ class VoxServer:
                     self._json(500, {"error": traceback.format_exc(limit=20)})
                 finally:
                     server.stats.record_request(time.monotonic() - t0, ok)
+
+            def _emit(self, fmt, payload):
+                if fmt == "npz":
+                    self._bytes(200, payload, "application/octet-stream")
+                else:
+                    self._json(200, payload)
 
             def _json(self, code, obj):
                 data = json.dumps(obj).encode()
@@ -598,22 +910,8 @@ class VoxServer:
 
         if p.get("viterbi") and config.pitch.enabled:
             # Host-side path search on the trimmed candidates (see _config).
-            from voxtpu.viterbi import PathConfig, pitch_path_host
-
             lp = np.max(np.abs(frames[:F]), axis=-1)
-            intensity = lp / np.maximum(np.max(lp), 1e-30)
-            f0, s0 = pitch_path_host(
-                item.result["pitch_candidates_freq"],
-                item.result["pitch_candidates_strength"],
-                item.result["pitch_candidates_valid"],
-                PathConfig(ceiling=config.pitch.fmax),
-                local_intensity=intensity,
-            )
-            s_best = np.clip(s0, 1e-6, 1.0 - 1e-6)
-            hnr = (10.0 * np.log10(s_best / (1.0 - s_best))).astype(s0.dtype)
-            item.result.update(
-                f0=f0, f0_strength=s0, hnr_db=np.where(f0 > 0, hnr, -np.inf)
-            )
+            item.result.update(_viterbi_host(item.result, lp, config.pitch.fmax))
 
         meta = {
             "frames": F,
@@ -629,6 +927,165 @@ class VoxServer:
             return "npz", buf.getvalue()
         return "json", {**meta, "features": {k: _jsonable(v) for k, v in item.result.items()}}
 
+    # ---- streaming sessions -------------------------------------------------
+    # Long recordings cannot ride /analyze (whole-body upload, max_body_bytes
+    # cap): /stream/open declares the wire format, /stream/append pushes raw
+    # PCM in arbitrarily-sized bodies, /stream/close flushes the tail and
+    # runs the end-of-stream Viterbi. Bounded server memory at any length.
+
+    def _stream_session_params(self, query: str) -> tuple[dict, dict]:
+        """Split /stream/open's query into (analysis params via _params,
+        validated stream wire params)."""
+        raw = urllib.parse.parse_qs(query, keep_blank_values=True)
+        sp = {k: raw.pop(k)[-1] for k in list(raw) if k in _STREAM_PARAMS}
+        if not self.cfg.allow_param_overrides and "chunk_frames" in sp:
+            raise RequestError(
+                "chunk_frames overrides are disabled on this server (each "
+                "distinct chunk shape is its own compiled program)"
+            )
+        p = self._params(urllib.parse.urlencode(
+            [(k, v) for k, vs in raw.items() for v in vs]
+        ))
+        out: dict = {}
+        try:
+            out["rate"] = float(sp["rate"]) if "rate" in sp else 0.0
+        except ValueError:
+            raise RequestError(f"bad value for rate: {sp['rate']!r}")
+        if out["rate"] <= 0:
+            raise RequestError("stream open requires rate=<Hz> (> 0); raw PCM "
+                               "bodies carry no WAV header to read it from")
+        out["encoding"] = sp.get("encoding", "f32le")
+        if out["encoding"] not in _STREAM_ENCODINGS:
+            raise RequestError(
+                f"encoding must be one of {_STREAM_ENCODINGS}, got {out['encoding']!r}"
+            )
+        try:
+            out["channels"] = int(sp.get("channels", 1))
+            out["chunk_frames"] = int(sp.get("chunk_frames", self.cfg.stream_chunk_frames))
+        except ValueError:
+            raise RequestError("channels and chunk_frames must be integers")
+        if not 1 <= out["channels"] <= 64:
+            raise RequestError(f"channels must be in [1, 64], got {out['channels']}")
+        if not 8 <= out["chunk_frames"] <= 16384:
+            raise RequestError(
+                f"chunk_frames must be in [8, 16384], got {out['chunk_frames']}"
+            )
+        return p, out
+
+    def _gc_streams(self) -> None:
+        cutoff = time.monotonic() - self.cfg.stream_idle_timeout_s
+        with self._streams_lock:
+            for sid in [s for s, v in self._streams.items() if v.last_used < cutoff]:
+                del self._streams[sid]
+
+    def _get_stream(self, query: str, extra_params=()) -> tuple["_StreamSession", dict]:
+        raw = urllib.parse.parse_qs(query, keep_blank_values=True)
+        unknown = set(raw) - {"session", "format"} - set(extra_params)
+        if unknown:
+            raise RequestError(f"unknown parameter(s): {sorted(unknown)}")
+        sid = raw.get("session", [None])[-1]
+        if not sid:
+            raise RequestError("missing session=<id> (from /stream/open)")
+        with self._streams_lock:
+            sess = self._streams.get(sid)
+        if sess is None:
+            raise RequestError(f"unknown or expired stream session: {sid}")
+        fmt = raw.get("format", [sess.fmt])[-1]
+        if fmt not in ("json", "npz"):
+            raise RequestError("format must be 'json' or 'npz'")
+        sess.last_used = time.monotonic()
+        return sess, {"format": fmt}
+
+    def stream_open(self, query: str) -> dict:
+        p, sp = self._stream_session_params(query)
+        config = self._config(sp["rate"], p)
+        # Streaming needs a real hop-advancing analysis; a degenerate
+        # channel index is rejected here, not at the first append.
+        if str(p.get("channel", "0")).strip().lower() != "mix":
+            if int(p.get("channel", "0")) >= sp["channels"]:
+                raise RequestError(
+                    f"channel {p.get('channel')} out of range: stream "
+                    f"declares {sp['channels']} channel(s)"
+                )
+        self._gc_streams()
+        with self._streams_lock:
+            if len(self._streams) >= self.cfg.max_streams:
+                raise TimeoutError(
+                    f"too many open streams ({self.cfg.max_streams}); retry later"
+                )
+            sid = uuid.uuid4().hex
+            sess = _StreamSession(
+                sid, config, {**p, "encoding": sp["encoding"],
+                              "channels": sp["channels"]},
+                self.cache, self.stats, sp["chunk_frames"],
+            )
+            self._streams[sid] = sess
+        self.stats.record_stream_session()
+        return {
+            "session": sid,
+            "chunk_frames": sess.analyzer.chunk_frames,
+            "frame_len": config.frame_len,
+            "hop": config.hop,
+            "sample_rate": sp["rate"],
+            "encoding": sp["encoding"],
+            "channels": sp["channels"],
+            "viterbi": sess.viterbi,
+        }
+
+    def _stream_payload(self, sess, fmt, nf, feats, vit=None, closed=False):
+        meta = {
+            "session": sess.sid,
+            "frames": nf,
+            "frames_done": sess.analyzer.frames_done,
+            "buffered_samples": sess.analyzer.buffered_samples,
+        }
+        if fmt == "npz":
+            buf = io.BytesIO()
+            arrays = dict(feats)
+            if vit is not None:
+                arrays.update({f"viterbi_{k}": v for k, v in vit.items()})
+            np.savez(buf, **arrays)
+            return "npz", buf.getvalue()
+        out = {**meta, "features": {k: _jsonable(v) for k, v in feats.items()}}
+        if vit is not None:
+            out["viterbi"] = {k: _jsonable(v) for k, v in vit.items()}
+        if closed:
+            out["closed"] = True
+        return "json", out
+
+    def stream_append(self, query: str, body: bytes):
+        sess, p = self._get_stream(query)
+        with sess.lock:
+            if sess.closed:
+                raise RequestError("stream session already closed")
+            nf, feats = sess.append(body)
+            return self._stream_payload(sess, p["format"], nf, feats)
+
+    def stream_close(self, query: str, body: bytes):
+        """Close a session: an optional final PCM body is fed first, the
+        partial tail chunk is flushed, and (if the session opened with
+        viterbi=1) the whole-stream path search runs on the accumulated
+        trimmed candidates — full-length f0/f0_strength/hnr_db come back
+        under "viterbi" (JSON) / "viterbi_*" keys (npz)."""
+        sess, p = self._get_stream(query)
+        with sess.lock:
+            if sess.closed:
+                raise RequestError("stream session already closed")
+            nf, feats, vit = sess.close(body)
+            payload = self._stream_payload(
+                sess, p["format"], nf, feats, vit=vit, closed=True
+            )
+        with self._streams_lock:
+            self._streams.pop(sess.sid, None)
+        return payload
+
+    def stream_abort(self, query: str) -> dict:
+        sess, _p = self._get_stream(query)
+        with self._streams_lock:
+            self._streams.pop(sess.sid, None)
+        return {"session": sess.sid, "aborted": True,
+                "frames_done": sess.analyzer.frames_done}
+
     # ---- lifecycle ---------------------------------------------------------
 
     def health(self) -> dict:
@@ -643,28 +1100,40 @@ class VoxServer:
             dev = {"backend_error": str(e)}
         return {"status": "ok", **dev}
 
-    def warmup(self, sample_rate: float = 44100.0, shapes=None) -> None:
+    def warmup(self, sample_rate: float | None = None, shapes=None) -> None:
         """Pre-compile the default config's packed programs so first requests
         don't pay the cold compile.
+
+        sample_rate: a single rate to warm; None warms every configured
+        `allowed_rates` entry (a locked-down server must serve its FIRST real
+        request warm, whatever its pinned rates are), falling back to 44.1 kHz
+        when no rates are pinned.
 
         shapes: iterable of (B, Fp) pairs; default covers both ends — a lone
         small request (1, smallest rung) and a full batch at the top bucket
         (max_batch, bucket), the latter with the configured data_parallel.
         Other (B, Fp) combinations still compile on first use (and persist in
         the on-disk compile cache); each warm shape is minutes of remote-AOT
-        on a cold TPU, so the default stays at two."""
+        on a cold TPU, so the default stays at two per rate."""
         import jax.numpy as jnp
 
-        config = self._config(sample_rate, dict(self.cfg.defaults))
+        rates = (
+            (sample_rate,) if sample_rate is not None
+            else (self.cfg.allowed_rates or (44100.0,))
+        )
         if shapes is None:
             shapes = [(1, 64)]
             if self.cfg.bucket and self.cfg.bucket != 64:
                 shapes.append((self.cfg.max_batch, self.cfg.bucket))
-        for B, rung in shapes:
-            dp = self.cfg.data_parallel
-            eff_dp = dp if dp > 1 and B >= dp else 1
-            fn, _m = _packed_analyze(config, B, rung, config.frame_len, dp=eff_dp)
-            np.asarray(fn(jnp.zeros((B, rung, config.frame_len), jnp.float32)))
+        for rate in rates:
+            config = self._config(float(rate), dict(self.cfg.defaults))
+            for B, rung in shapes:
+                dp = self.cfg.data_parallel
+                eff_dp = dp if dp > 1 and B >= dp else 1
+                fn, _m = _packed_analyze(
+                    config, B, rung, config.frame_len, dp=eff_dp, cache=self.cache
+                )
+                np.asarray(fn(jnp.zeros((B, rung, config.frame_len), jnp.float32)))
 
     @property
     def address(self):
@@ -692,3 +1161,8 @@ class VoxServer:
         self.httpd.shutdown()
         self.httpd.server_close()
         self.batcher.stop()
+        with self._streams_lock:
+            self._streams.clear()
+        # Release the compiled executables (embedding scenarios create and
+        # destroy servers in one process; a leaked cache pins device programs).
+        self.cache.clear()
