@@ -80,11 +80,15 @@ def test_f32_budget_synth_16k():
 
 
 def test_f32_budget_bench_config():
-    """Budget at the bench configuration: 44.1 kHz, frame 4096, Burg order 13
-    (measured worst: f0 0.29 Hz, formants 2.6 Hz — the order-13 Laguerre
-    roots are the least f32-stable feature)."""
+    """Budget at the bench configuration: 44.1 kHz, frame 4096, Burg order 13.
+    r4 measured the order-13 Laguerre roots at 2.6 Hz worst (the least
+    f32-stable feature); the r5 compensated-Newton root polish
+    (roots.polish_roots, scripts/perf_root_polish.py) brings it to 0.24 Hz —
+    under the reference's own 1 Hz golden tolerance (spectrum.rs:621-628).
+    The 1.0 Hz budget asserted here IS that bar; loosening it back means the
+    polish regressed."""
     wav = read_wav(os.path.join(FIX, "sample-two_vowels.wav"))
     _budget_case(
         wav.samples, float(wav.sample_rate), 4096, 1024, 13, 600.0,
-        {"f0": 0.7, "strength": 1.5e-2, "formants": 8.0, "mfcc": 1e-4},
+        {"f0": 0.7, "strength": 1.5e-2, "formants": 1.0, "mfcc": 1e-4},
     )

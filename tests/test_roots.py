@@ -220,3 +220,76 @@ def test_find_roots_backend_dispatch_lpc_golden():
         d = np.abs(got[:, None] - exp[None, :])
         assert d.min(axis=1).max() < 1e-4, d.min(axis=1).max()
         assert d.min(axis=0).max() < 1e-4, d.min(axis=0).max()
+
+
+def test_polish_roots_recovers_accuracy_and_guards():
+    """Compensated-Newton polish (roots.polish_roots, VERDICT r4 #4):
+    perturbed f32 roots of a known polynomial converge back to the true
+    roots; zero slots stay untouched; the |p| safeguard never lets a
+    pathological step regress below the input root."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from voxtpu.cplx import C
+    from voxtpu.roots import polish_roots
+
+    rng = np.random.default_rng(4)
+    true = np.array([0.81 + 0.55j, 0.81 - 0.55j, -0.42 + 0.87j, -0.42 - 0.87j,
+                     0.30 + 0.92j, 0.30 - 0.92j], dtype=np.complex128)
+    coeffs64 = np.poly(true)[::-1]  # index = power
+    # Pad to a fixed workspace with zero top coefficients + two zero slots.
+    N = len(coeffs64) + 2
+    cre = np.zeros((1, N), np.float32)
+    cim = np.zeros((1, N), np.float32)
+    cre[0, : len(coeffs64)] = coeffs64.real.astype(np.float32)
+    cim[0, : len(coeffs64)] = coeffs64.imag.astype(np.float32)
+
+    z = true + (3e-4 * (rng.standard_normal(6) + 1j * rng.standard_normal(6)))
+    zre = np.zeros((1, N), np.float32)
+    zim = np.zeros((1, N), np.float32)
+    zre[0, :6] = z.real.astype(np.float32)
+    zim[0, :6] = z.imag.astype(np.float32)
+
+    out = polish_roots(C(jnp.asarray(cre), jnp.asarray(cim)),
+                       C(jnp.asarray(zre), jnp.asarray(zim)))
+    got = np.asarray(out.re)[0, :6] + 1j * np.asarray(out.im)[0, :6]
+    err_in = np.abs(z - true).max()
+    err_out = np.abs(got - true).max()
+    assert err_out < err_in / 20, (err_in, err_out)
+    assert err_out < 5e-6, err_out
+    # zero slots untouched
+    assert np.all(np.asarray(out.re)[0, 6:] == 0)
+    assert np.all(np.asarray(out.im)[0, 6:] == 0)
+
+    # Safeguard: starting from garbage far outside the step bound, the
+    # result is never WORSE in residual than the input.
+    bad_re = zre.copy()
+    bad_re[0, 0] = 50.0  # |p| astronomically large; Newton step is huge
+    bad = polish_roots(C(jnp.asarray(cre), jnp.asarray(cim)),
+                       C(jnp.asarray(bad_re), jnp.asarray(zim)))
+
+    def presid(rr, ri):
+        zs = rr + 1j * ri
+        return abs(np.polyval(coeffs64[::-1], zs))
+
+    assert presid(float(np.asarray(bad.re)[0, 0]),
+                  float(np.asarray(bad.im)[0, 0])) <= presid(50.0, float(zim[0, 0])) + 1e-6
+
+
+def test_polish_is_noop_in_f64_formant_path():
+    """f64 parity mode never polishes: formant_candidates(polish=True) ==
+    (polish=False) bit-for-bit in float64 (quirk-exact semantics hold)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from voxtpu.formants import formant_candidates
+
+    rng = np.random.default_rng(11)
+    t = np.arange(1024) / 11025.0
+    x = np.sin(2 * np.pi * 120 * t) + 0.2 * np.sin(2 * np.pi * 900 * t)
+    frames = jnp.asarray((x + 0.01 * rng.standard_normal(t.shape))[None, :],
+                         jnp.float64)
+    a = formant_candidates(frames, 11025.0, 10, polish=True)
+    b = formant_candidates(frames, 11025.0, 10, polish=False)
+    for x_, y_ in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x_), np.asarray(y_))

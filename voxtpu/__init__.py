@@ -14,7 +14,7 @@ from voxtpu.windows import hann, hanning_lag
 from voxtpu.autocorr import autocorrelate
 from voxtpu.lpc import levinson, burg
 from voxtpu.cplx import C, csqrt
-from voxtpu.roots import degree, off_low, laguerre, find_roots
+from voxtpu.roots import degree, off_low, laguerre, find_roots, polish_roots
 from voxtpu.resonance import resonances_from_roots, sort_and_pack_resonances
 from voxtpu.formants import (
     MAX_RESONANCES,
@@ -88,6 +88,7 @@ __all__ = [
     "off_low",
     "laguerre",
     "find_roots",
+    "polish_roots",
     # lib.rs pipeline (C26)
     "MAX_RESONANCES",
     "MALE_FORMANT_ESTIMATES",

@@ -318,11 +318,20 @@ def formant_candidates(
     n_coeffs: int,
     resample_ratio: float = 1.0,
     max_resonances: int = MAX_RESONANCES,
+    polish: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """The frame-parallel half of `find_formants` (lib.rs:40-110): resample ->
     Hann window -> Burg LPC -> monic polynomial -> Laguerre roots -> sorted
     resonance buffer. No cross-frame state — safe to shard/batch arbitrarily;
     the sequential McCandless carry (`formant_tracker`) consumes the result.
+
+    polish: in f32 (the TPU fast path) refine the roots with a compensated
+    Newton pass against the undeflated polynomial (`roots.polish_roots`),
+    recovering the accuracy Laguerre-deflation drift loses — measured 2.6 Hz
+    -> sub-0.1 Hz worst-case formant error at the bench config, beating the
+    reference's own 1 Hz golden bar (scripts/perf_root_polish.py, PARITY.md).
+    f64 parity mode never polishes (reference-exact semantics are the point
+    there), so the quirk-exact goldens are untouched.
 
     Returns (rfreq (F, R), rbw (F, R), status (F,)).
     """
@@ -352,6 +361,10 @@ def formant_candidates(
 
     roots, _count, rstatus = find_roots(C(poly_re, poly_im))
     status = status | rstatus
+    if polish and dt == jnp.float32:
+        from voxtpu.roots import polish_roots
+
+        roots = polish_roots(C(poly_re, poly_im), roots)
 
     rfreq, rbw, valid = resonances_from_roots(roots, sample_rate, require_im_positive=True)
     rfreq, rbw = sort_and_pack_resonances(rfreq, rbw, valid, max_resonances)
@@ -367,6 +380,7 @@ def find_formants(
     estimate_bandwidth: float = 1.0,
     estimate_bws=None,
     max_resonances: int = MAX_RESONANCES,
+    polish: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Full formant pipeline over the frames of one recording.
 
@@ -394,6 +408,7 @@ def find_formants(
     rfreq, rbw, status = formant_candidates(
         frames, sample_rate, n_coeffs,
         resample_ratio=resample_ratio, max_resonances=max_resonances,
+        polish=polish,
     )
     dt = rfreq.dtype
 

@@ -57,6 +57,10 @@ class FormantConfig:
     resample_ratio: float = 1.0
     estimates: tuple = MALE_FORMANT_ESTIMATES
     estimate_bandwidth: float = 1.0
+    #: compensated-Newton root polish on the f32 fast path (beats the
+    #: reference's accuracy; a no-op in f64 parity mode — see
+    #: formants.formant_candidates / roots.polish_roots)
+    polish: bool = True
 
 
 @dataclass(frozen=True)
@@ -203,6 +207,7 @@ def analyze_frames(
 
             rfreq, rbw, status = formant_candidates(
                 frames, sr, f.n_coeffs, resample_ratio=f.resample_ratio,
+                polish=f.polish,
             )
             out["resonance_freqs"] = rfreq
             out["resonance_bws"] = rbw
@@ -215,7 +220,7 @@ def analyze_frames(
             freqs, bws, status = find_formants(
                 frames, sr, f.n_coeffs, resample_ratio=f.resample_ratio,
                 estimates=est_f, estimate_bandwidth=f.estimate_bandwidth,
-                estimate_bws=est_b,
+                estimate_bws=est_b, polish=f.polish,
             )
             out["formant_freqs"] = freqs
             out["formant_bws"] = bws
