@@ -1,0 +1,194 @@
+"""End-to-end corpus throughput on the chip (VERDICT r4 #2).
+
+The reference's deployment unit is the caller's file loop
+(/root/reference/tests/lib.rs:71-83); voxtpu's corpus runner replaces it.
+bench.py measures the device pipeline on ONE tiled recording; this measures
+the whole many-file path — WAV decode, framing, bucket padding, device
+dispatch, feature fetch, npz write — over a generated mixed-length corpus,
+with a stage split, and A/Bs the two knobs the loop owns:
+
+  reader:   pure-Python RIFF walker vs the native C++ loader
+  dispatch: sync (fetch file i before dispatching i+1) vs double-buffered
+            (dispatch i+1, THEN fetch i — device computes i+1 while the
+            ~25 ms tunnel fetch of i drains)
+
+Also times `python -m voxtpu corpus` itself once (the honest number a user
+sees, interpreter + warm-cache compile checks included).
+
+Run on the chip: python scripts/perf_corpus.py [n_files]
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+import time
+import wave
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+SR = 44100
+LENGTHS_S = [0.5, 1.0, 2.0, 3.0, 5.0, 8.0]
+
+
+def gen_corpus(dirpath: str, n_files: int) -> float:
+    """Deterministic mixed-length 16-bit WAVs; returns total audio seconds."""
+    from util import synth_vowel
+
+    os.makedirs(dirpath, exist_ok=True)
+    total = 0.0
+    fmts = [
+        [(730.0, 60.0), (1090.0, 80.0), (2440.0, 120.0)],
+        [(270.0, 50.0), (2290.0, 90.0), (3010.0, 150.0)],
+        [(390.0, 60.0), (1990.0, 90.0), (2550.0, 140.0)],
+    ]
+    for i in range(n_files):
+        secs = LENGTHS_S[i % len(LENGTHS_S)]
+        n = int(SR * secs)
+        x = synth_vowel(SR, 110.0 + 7.0 * (i % 13), fmts[i % 3], n,
+                        noise=0.01, seed=1000 + i)
+        pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+        with wave.open(os.path.join(dirpath, f"f{i:04d}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(SR)
+            w.writeframes(pcm.tobytes())
+        total += secs
+    return total
+
+
+def instrumented(paths, outdir, native_reader: bool, double_buffer: bool):
+    """The corpus serial loop with per-stage timers. Returns dict of totals."""
+    import jax
+    import jax.numpy as jnp
+
+    from voxtpu import native
+    from voxtpu.cli import (
+        _bucket, _bucket_target, _fetch, build_analysis_config, write_features,
+    )
+    from voxtpu.frame import frame_signal
+    from voxtpu.io_wav import read_wav
+    from voxtpu.pipeline import analyze_frames
+
+    config = build_analysis_config(float(SR))
+    bucket = 1024
+
+    def read(path):
+        if native_reader and native.available():
+            samples, sr, _b, _c = native.read_wav(
+                path, dtype=np.float32, channel=0, return_channels=True
+            )
+            return samples
+        return read_wav(path, dtype=np.float32).samples
+
+    # Warm every rung shape outside the timed loop (compiles are shape
+    # discipline, not throughput — and the persistent cache carries them).
+    rungs = sorted({
+        _bucket_target(
+            (int(SR * s) - config.frame_len) // config.hop + 1, bucket
+        ) for s in LENGTHS_S
+    })
+    for r in rungs:
+        out = analyze_frames(jnp.zeros((r, config.frame_len), jnp.float32), config)
+        _fetch({k: v[:1] for k, v in out.items()})
+    os.makedirs(outdir, exist_ok=True)
+
+    t_read = t_disp = t_fetch = t_write = 0.0
+    wall0 = time.perf_counter()
+    pending = None  # (path, lazy-trimmed out dict)
+
+    def drain(p):
+        nonlocal t_fetch, t_write
+        path, out = p
+        t0 = time.perf_counter()
+        host = _fetch(out)
+        t_fetch += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        write_features(
+            os.path.join(outdir, os.path.splitext(os.path.basename(path))[0] + ".npz"),
+            host,
+        )
+        t_write += time.perf_counter() - t0
+
+    for path in paths:
+        t0 = time.perf_counter()
+        samples = read(path)
+        frames = frame_signal(jnp.asarray(samples, jnp.float32),
+                              config.frame_len, config.hop)
+        fpad, F = _bucket(frames, bucket)
+        t_read += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        out = analyze_frames(fpad, config)
+        out = {k: v[:F] for k, v in out.items()}  # in-graph-ish lazy trims
+        t_disp += time.perf_counter() - t0
+
+        if double_buffer:
+            if pending is not None:
+                drain(pending)
+            pending = (path, out)
+        else:
+            drain((path, out))
+    if pending is not None:
+        drain(pending)
+    wall = time.perf_counter() - wall0
+    return {"read+frame": t_read, "dispatch": t_disp, "fetch": t_fetch,
+            "write": t_write, "wall": wall}
+
+
+def main():
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    corpus_dir = "/tmp/voxtpu_perf_corpus"
+    if not os.path.isdir(corpus_dir) or len(os.listdir(corpus_dir)) < n_files:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        audio_s = gen_corpus(corpus_dir, n_files)
+    else:
+        audio_s = sum(LENGTHS_S[i % len(LENGTHS_S)] for i in range(n_files))
+    paths = sorted(
+        os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir)
+        if f.endswith(".wav")
+    )[:n_files]
+    nbytes = sum(os.path.getsize(p) for p in paths)
+    print(f"corpus: {len(paths)} files, {audio_s:.0f} s audio, "
+          f"{nbytes / 1e6:.0f} MB", flush=True)
+
+    for native_reader in (False, True):
+        for double_buffer in (False, True):
+            r = instrumented(paths, f"/tmp/voxtpu_perf_feats", native_reader,
+                             double_buffer)
+            xrt = audio_s / r["wall"]
+            label = (("native" if native_reader else "python") + " reader, "
+                     + ("double-buffered" if double_buffer else "sync      "))
+            print(
+                f"{label}: wall {r['wall']:6.2f} s = {xrt:7.0f}x real-time   "
+                f"[read+frame {r['read+frame']:5.2f}  dispatch {r['dispatch']:5.2f}  "
+                f"fetch {r['fetch']:5.2f}  write {r['write']:5.2f}]",
+                flush=True,
+            )
+
+    # The honest CLI number (fresh interpreter, warm on-disk compile cache).
+    outdir = "/tmp/voxtpu_perf_cli_feats"
+    shutil.rmtree(outdir, ignore_errors=True)
+    t0 = time.perf_counter()
+    rc = subprocess.run(
+        [sys.executable, "-m", "voxtpu", "corpus", os.path.join(corpus_dir, "*.wav"),
+         "-o", outdir, "--no-resume"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=3600,
+    )
+    wall = time.perf_counter() - t0
+    assert rc.returncode == 0, rc.stderr[-2000:]
+    print(f"CLI end-to-end (fresh interpreter): {wall:.1f} s = "
+          f"{audio_s / wall:.0f}x real-time", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -140,6 +140,89 @@ def main():
     print(json.dumps(srv2.stats.snapshot(), indent=1), flush=True)
     srv2.shutdown()
 
+    saturation_sweep()
+
+
+def saturation_sweep():
+    """VERDICT r4 #3: concurrency {1,2,4,8,16} x clip {0.26 s, 2.8 s},
+    reporting QPS, p50/p95 request latency, aggregate x-real-time, and the
+    device-busy fraction — for dispatcher pipeline_depth 0 (strictly
+    synchronous: fetch batch k before dispatching k+1) vs 1 (double-buffered:
+    batch k's tunnel fetch + host unpack overlap batch k+1's device compute).
+    """
+    import http.client
+
+    from voxtpu.serve import ServeConfig, VoxServer
+
+    clips = []
+    for name in ("short_sample.wav", "sample-two_vowels.wav"):
+        p = os.path.join("tests", "fixtures", name)
+        with open(p, "rb") as f:
+            body = f.read()
+        from voxtpu.io_wav import read_wav_bytes
+
+        w = read_wav_bytes(body)
+        clips.append((name, body, w.samples.shape[0] / w.sample_rate))
+
+    for depth in (0, 1):
+        srv = VoxServer(ServeConfig(
+            host="127.0.0.1", port=0, window_ms=3.0, max_batch=16, bucket=1024,
+            pipeline_depth=depth,
+        ))
+        host, port = srv.start()
+
+        def post(body):
+            conn = http.client.HTTPConnection(host, port, timeout=1800)
+            conn.request("POST", "/analyze?format=npz", body=body)
+            r = conn.getresponse()
+            data = r.read()
+            conn.close()
+            assert r.status == 200, data[:300]
+
+        print(f"\n-- pipeline_depth={depth} "
+              f"({'double-buffered' if depth else 'synchronous'})", flush=True)
+        for name, body, audio_s in clips:
+            post(body)  # warm this clip's shapes
+            for clients in (1, 2, 4, 8, 16):
+                total = max(24, clients * 6)
+                before = srv.stats.snapshot()
+                counter = [0]
+                lock = threading.Lock()
+                lats = []
+
+                def worker():
+                    while True:
+                        with lock:
+                            if counter[0] >= total:
+                                return
+                            counter[0] += 1
+                        t0 = time.perf_counter()
+                        post(body)
+                        dt = time.perf_counter() - t0
+                        with lock:
+                            lats.append(dt)
+
+                ts = [threading.Thread(target=worker) for _ in range(clients)]
+                t0 = time.perf_counter()
+                for t in ts:
+                    t.start()
+                for t in ts:
+                    t.join()
+                wall = time.perf_counter() - t0
+                after = srv.stats.snapshot()
+                dev = after["device_time_s"] - before["device_time_s"]
+                lats.sort()
+                p50 = lats[len(lats) // 2] * 1e3
+                p95 = lats[int(0.95 * (len(lats) - 1))] * 1e3
+                print(
+                    f"{name[:12]:12s} ({audio_s:4.2f}s) c={clients:2d}: "
+                    f"{total / wall:6.1f} req/s  p50 {p50:6.1f} ms  "
+                    f"p95 {p95:6.1f} ms  {total * audio_s / wall:7.0f}x rt  "
+                    f"device busy {min(1.0, dev / wall) * 100:3.0f}%",
+                    flush=True,
+                )
+        srv.shutdown()
+
 
 if __name__ == "__main__":
     main()

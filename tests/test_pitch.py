@@ -303,3 +303,22 @@ def test_parabolic_pos_past_nx_edge_backends_agree():
     # The edge case actually fired: a valid candidate sits past the buffer
     # (vertex lag 62 + 10.5 = 72.5 > bi <=> freq = sr/72.5 ~ 110 < sr/bi).
     assert np.any((f_j > 0) & (f_j < sr / bi) & v_j), (f_j, v_j)
+
+
+def test_overcapacity_clamps_and_pads():
+    """max_candidates beyond the maxima axis (bi-2 centers) must not crash
+    (lax.top_k rejects k > axis size): the pipeline runs at the clamped width
+    and pads the sorted outputs back out with invalid tail lanes."""
+    bin_ = 256  # bi = 128 -> 126 centers
+    x = sine_hz(150.0, 8000.0, bin_ + 1)[:bin_]
+    frame = jnp.asarray(x * np.asarray(hann(bin_)))[None, :]
+    kw = dict(threshold=0.2, fmin=60.0, fmax=500.0)
+    f_big, s_big, v_big = pitch_frames(frame, 8000.0, max_candidates=340, **kw)
+    f_ref, s_ref, v_ref = pitch_frames(frame, 8000.0, max_candidates=126, **kw)
+    assert f_big.shape == (1, 341)
+    np.testing.assert_array_equal(np.asarray(f_big)[:, :127], np.asarray(f_ref))
+    np.testing.assert_array_equal(np.asarray(s_big)[:, :127], np.asarray(s_ref))
+    np.testing.assert_array_equal(np.asarray(v_big)[:, :127], np.asarray(v_ref))
+    tail_v = np.asarray(v_big)[:, 127:]
+    assert not tail_v.any()
+    assert not np.asarray(s_big)[:, 127:].any()

@@ -815,6 +815,13 @@ def main(argv=None) -> int:
         "--stream-chunk-frames", type=int, default=512, metavar="N",
         help="frames per /stream session chunk (the streaming compiled shape)",
     )
+    ss.add_argument(
+        "--pipeline-depth", type=int, default=1, metavar="N",
+        help="dispatched-but-unfetched batches allowed in flight while the "
+        "next batch dispatches (1 = double-buffered dispatcher, 0 = fetch "
+        "each batch before dispatching the next; scripts/perf_serve.py "
+        "measures the difference)",
+    )
     ss.add_argument("--warmup-hz", type=float, default=44100.0,
                     help="sample rate the warmup compile assumes")
     common(ss)

@@ -136,6 +136,13 @@ def pitch_frames(
 
     bi = int(math.floor(INTERPOLATION_DEPTH * n))  # brent_ixmax
     backend = refine_backend or default_backend()
+    # The maxima axis has only bi-2 centers, so more capacity than that is
+    # pure dead lanes (and lax.top_k rejects k > axis size): run the whole
+    # pipeline at the clamped width and pad the sorted outputs back out to
+    # the requested capacity at the end (invalid lanes sort last, so the
+    # padding extends the tail without disturbing order).
+    C_req = C
+    C = min(C, bi - 2)
 
     # --- local maxima over self_lag[0..bi) (periodic.rs:413-417)
     seg = self_lag[:, :bi]
@@ -294,6 +301,11 @@ def pitch_frames(
         dimension=-1, is_stable=True, num_keys=1,
     )
     strength_s = jnp.where(valid_s, strength_s, 0.0)
+    if C_req > C:
+        pad = [(0, 0), (0, C_req - C)]
+        freq_s = jnp.pad(freq_s, pad)
+        strength_s = jnp.pad(strength_s, pad)
+        valid_s = jnp.pad(valid_s, pad)
     return freq_s, strength_s, valid_s
 
 

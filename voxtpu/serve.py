@@ -85,6 +85,12 @@ class ServeConfig:
     max_body_bytes: int = 256 << 20
     #: how long a request may wait on the device queue (covers cold compiles)
     request_timeout_s: float = 900.0
+    #: dispatcher pipelining: how many dispatched-but-unfetched batches may be
+    #: in flight while the NEXT batch dispatches (VERDICT r4 #3 — the host
+    #: stack/fetch/unpack work otherwise serializes with device compute).
+    #: 1 = double-buffered (default; measured in scripts/perf_serve.py),
+    #: 0 = strictly synchronous (fetch batch k before dispatching k+1).
+    pipeline_depth: int = 1
     #: when False, requests may not override analysis params (each distinct
     #: config is a multi-minute cold compile serialized on the dispatcher —
     #: an easy DoS from untrusted clients). Host-side params (channel,
@@ -368,9 +374,27 @@ class _MicroBatcher:
             it.event.set()
 
     def _loop(self) -> None:
+        # `inflight` holds dispatched-but-unfetched batches: while the device
+        # computes batch k, the dispatcher may stack/dispatch batch k+1
+        # (pipeline_depth > 0) instead of blocking on k's tunnel fetch +
+        # host-side unpack (VERDICT r4 #3). Whenever the queue goes quiet,
+        # everything in flight drains immediately — idle traffic never waits.
+        inflight: list = []
+        depth = max(0, int(self.cfg.pipeline_depth))
         while True:
-            head = self.q.get()
+            if inflight:
+                try:
+                    head = self.q.get_nowait()
+                except queue.Empty:
+                    for p in inflight:
+                        self._drain(p)
+                    inflight = []
+                    continue
+            else:
+                head = self.q.get()
             if head is _STOP:
+                for p in inflight:
+                    self._drain(p)
                 self._drain_shutdown()
                 return
             groups: dict = {}
@@ -395,11 +419,19 @@ class _MicroBatcher:
                     break
             for k, items in groups.items():
                 for i in range(0, len(items), self.cfg.max_batch):
-                    self._run(k, items[i : i + self.cfg.max_batch])
+                    p = self._dispatch(k, items[i : i + self.cfg.max_batch])
+                    if p is not None:
+                        inflight.append(p)
+                    while len(inflight) > depth:
+                        self._drain(inflight.pop(0))
             if stop:
+                for p in inflight:
+                    self._drain(p)
                 return
 
-    def _run(self, key, items: list) -> None:
+    def _dispatch(self, key, items: list):
+        """Stack + launch one batch; returns the in-flight record (or None if
+        the dispatch itself failed — waiters already errored)."""
         config, Fp, n = key
         try:
             import jax.numpy as jnp
@@ -417,14 +449,27 @@ class _MicroBatcher:
                 config, B, Fp, n, dp=eff_dp, cache=self.cache
             )
             t0 = time.monotonic()
-            flat = np.asarray(packed_fn(jnp.asarray(stack)))
+            flat_dev = packed_fn(jnp.asarray(stack))  # async under jax
+            return (key, items, B, flat_dev, manifest, t0)
+        except Exception:  # surface device/compile failures to every waiter
+            err = traceback.format_exc()
+            for it in items:
+                it.error = err
+                it.event.set()
+            return None
+
+    def _drain(self, pending) -> None:
+        """Fetch + unpack one in-flight batch and release its waiters."""
+        key, items, B, flat_dev, manifest, t0 = pending
+        try:
+            flat = np.asarray(flat_dev)  # blocks until the device finishes
             dt = time.monotonic() - t0
             self.stats.record_batch(len(items), B, dt, key)
             out = _unpack(flat, manifest)
             for i, it in enumerate(items):
                 it.result = {k: v[i, : it.F] for k, v in out.items()}
                 it.event.set()
-        except Exception:  # surface device/compile failures to every waiter
+        except Exception:
             err = traceback.format_exc()
             for it in items:
                 it.error = err
