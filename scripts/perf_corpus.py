@@ -139,6 +139,83 @@ def instrumented(paths, outdir, native_reader: bool, double_buffer: bool):
             "write": t_write, "wall": wall}
 
 
+def instrumented_batched(paths, outdir, batch_files: int):
+    """The cli.py --batch-files loop with per-stage timers: host-stacked
+    (B, S) blocks, ONE analyze_batch_padded dispatch + ONE fetch per block."""
+    import jax.numpy as jnp  # noqa: F401  (device init)
+
+    from voxtpu import native
+    from voxtpu.cli import _bucket_target, _fetch, build_analysis_config, write_features
+    from voxtpu.pipeline import analyze_batch_padded
+
+    config = build_analysis_config(float(SR))
+    bucket = 1024
+
+    def read(path):
+        if native.available():
+            samples, _sr, _b, _c = native.read_wav(
+                path, dtype=np.float32, channel=0, return_channels=True
+            )
+            return samples
+        from voxtpu.io_wav import read_wav
+
+        return read_wav(path, dtype=np.float32).samples
+
+    # Warm the (B, rung) shapes outside the timed loop.
+    rungs = sorted({
+        _bucket_target(
+            (int(SR * s) - config.frame_len) // config.hop + 1, bucket
+        ) for s in LENGTHS_S
+    })
+    for r in rungs:
+        S = (r - 1) * config.hop + config.frame_len
+        out = analyze_batch_padded(
+            np.zeros((batch_files, S), np.float32),
+            np.full((batch_files,), S, np.int32), config,
+        )
+        _fetch({k: v[:1, :1] for k, v in out.items()})
+    os.makedirs(outdir, exist_ok=True)
+
+    paths = sorted(paths, key=os.path.getsize)
+    t_read = t_disp = t_fetch = t_write = 0.0
+    wall0 = time.perf_counter()
+    for b0 in range(0, len(paths), batch_files):
+        group = paths[b0 : b0 + batch_files]
+        t0 = time.perf_counter()
+        sams = [read(p) for p in group]
+        Fmax = _bucket_target(
+            max((s.shape[0] - config.frame_len) // config.hop + 1 for s in sams),
+            bucket,
+        )
+        S = (Fmax - 1) * config.hop + config.frame_len
+        stacked = np.zeros((batch_files, S), np.float32)
+        lengths = np.zeros((batch_files,), np.int32)
+        for i, s in enumerate(sams):
+            m = min(s.shape[0], S)
+            stacked[i, :m] = s[:m]
+            lengths[i] = m
+        t_read += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        out = analyze_batch_padded(stacked, lengths, config)
+        t_disp += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        host = _fetch(out)
+        t_fetch += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for i, p in enumerate(group):
+            F = max((sams[i].shape[0] - config.frame_len) // config.hop + 1, 0)
+            write_features(
+                os.path.join(outdir, os.path.splitext(os.path.basename(p))[0] + ".npz"),
+                {k: v[i, :F] for k, v in host.items()},
+            )
+        t_write += time.perf_counter() - t0
+    wall = time.perf_counter() - wall0
+    return {"read+frame": t_read, "dispatch": t_disp, "fetch": t_fetch,
+            "write": t_write, "wall": wall}
+
+
 def main():
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     import jax
@@ -174,20 +251,34 @@ def main():
                 flush=True,
             )
 
-    # The honest CLI number (fresh interpreter, warm on-disk compile cache).
-    outdir = "/tmp/voxtpu_perf_cli_feats"
-    shutil.rmtree(outdir, ignore_errors=True)
-    t0 = time.perf_counter()
-    rc = subprocess.run(
-        [sys.executable, "-m", "voxtpu", "corpus", os.path.join(corpus_dir, "*.wav"),
-         "-o", outdir, "--no-resume"],
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        capture_output=True, text=True, timeout=3600,
-    )
-    wall = time.perf_counter() - t0
-    assert rc.returncode == 0, rc.stderr[-2000:]
-    print(f"CLI end-to-end (fresh interpreter): {wall:.1f} s = "
-          f"{audio_s / wall:.0f}x real-time", flush=True)
+    for bf in (8, 16):
+        r = instrumented_batched(paths, "/tmp/voxtpu_perf_feats", bf)
+        xrt = audio_s / r["wall"]
+        print(
+            f"batched --batch-files {bf:2d}: wall {r['wall']:6.2f} s = "
+            f"{xrt:7.0f}x real-time   "
+            f"[read+stack {r['read+frame']:5.2f}  dispatch {r['dispatch']:5.2f}  "
+            f"fetch {r['fetch']:5.2f}  write {r['write']:5.2f}]",
+            flush=True,
+        )
+
+    # The honest CLI number (fresh interpreter, warm on-disk compile cache),
+    # batched (the default, --batch-files 8) vs per-file.
+    for bf in ("8", "1"):
+        outdir = "/tmp/voxtpu_perf_cli_feats"
+        shutil.rmtree(outdir, ignore_errors=True)
+        t0 = time.perf_counter()
+        rc = subprocess.run(
+            [sys.executable, "-m", "voxtpu", "corpus",
+             os.path.join(corpus_dir, "*.wav"),
+             "-o", outdir, "--no-resume", "--batch-files", bf],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=3600,
+        )
+        wall = time.perf_counter() - t0
+        assert rc.returncode == 0, rc.stderr[-2000:]
+        print(f"CLI end-to-end (fresh interpreter, --batch-files {bf}): "
+              f"{wall:.1f} s = {audio_s / wall:.0f}x real-time", flush=True)
 
 
 if __name__ == "__main__":

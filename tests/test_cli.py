@@ -124,6 +124,43 @@ def test_corpus_sharded_viterbi(tmp_path):
         )
 
 
+def test_corpus_batch_files_matches_serial(tmp_path):
+    """--batch-files (single-device corpus batching, VERDICT r4 #2): three
+    mixed-length files through one (B, S) analyze_batch_padded program per
+    group — with zero-file padding in the last group and in-graph Viterbi —
+    must match the per-file path (--batch-files 1) feature-for-feature.
+    Covers the valid-frame mask: the middle file's tail frames would
+    otherwise read the next file's pad region as real audio."""
+    wavdir = tmp_path / "wavs"
+    wavdir.mkdir()
+    _write_sine_wav(wavdir / "x.wav", 190.0, seconds=0.45)
+    _write_sine_wav(wavdir / "y.wav", 260.0, seconds=0.62)
+    _write_sine_wav(wavdir / "z.wav", 330.0, seconds=0.57)
+
+    for extra in ([], ["--viterbi"]):
+        outb = tmp_path / ("batched" + "".join(extra))
+        rc = main(["corpus", str(wavdir / "*.wav"), "-o", str(outb),
+                   "--f64", "--batch-files", "2", "--no-resume"] + extra)
+        assert rc == 0
+        outs = tmp_path / ("serial" + "".join(extra))
+        rc = main(["corpus", str(wavdir / "*.wav"), "-o", str(outs),
+                   "--f64", "--batch-files", "1", "--no-resume"] + extra)
+        assert rc == 0
+        for name in ("x", "y", "z"):
+            zb = np.load(outb / f"{name}.npz")
+            zs = np.load(outs / f"{name}.npz")
+            assert set(zb.files) == set(zs.files)
+            for k in ("formant_freqs", "formant_bws", "rms", "mfcc", "status"):
+                np.testing.assert_allclose(
+                    zb[k], zs[k], rtol=1e-9, atol=1e-12, err_msg=f"{name}:{k}"
+                )
+            np.testing.assert_allclose(zb["f0"], zs["f0"], rtol=1e-6, err_msg=name)
+            if extra:
+                np.testing.assert_allclose(
+                    zb["f0_strength"], zs["f0_strength"], rtol=1e-6, err_msg=name
+                )
+
+
 def test_analyze_resample_hz_pins_f0(tmp_path):
     """--resample-hz contract (VERDICT r2 #2): the signal is resampled once
     and ALL features run at the analysis rate — f0 of a known sine must come

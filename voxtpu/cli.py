@@ -506,7 +506,76 @@ def cmd_corpus(args) -> int:
         return frame_signal(x, config.frame_len, config.hop)
 
     bucket_frames = _resolve_bucket(args)
+    batch_files = max(1, int(getattr(args, "batch_files", 1) or 1))
     for config, recs in pending.items():
+        if n_dev == 1 and batch_files > 1 and len(recs) > 1 and not args.resample_hz:
+            # Batched single-device path: --batch-files recordings stacked on
+            # the HOST into one zero-padded (B, S) block, then framing +
+            # valid-frame masking + the whole pipeline as ONE compiled
+            # program (pipeline.analyze_batch_padded) with ONE result fetch.
+            # Measured (scripts/perf_corpus.py): per-file dispatch+fetch
+            # roundtrips dominate the many-file loop through the axon tunnel
+            # (~60 ms of a ~70 ms per-file wall), so amortizing them over B
+            # files is the corpus-level win; local PJRT still saves B-1
+            # dispatch/fetch pairs. Per-file isolation (McCandless carry,
+            # Viterbi path) is exact, and padding is masked in-graph.
+            # (--resample-hz falls back to the per-file path: resampling
+            # runs on device between read and framing.)
+            import dataclasses
+
+            from voxtpu.pipeline import analyze_batch_padded
+
+            bcfg = config
+            if args.viterbi and config.pitch.enabled:
+                # In-graph per-file Viterbi: one program, one fetch — the
+                # host-side _viterbi_post twin would pay B eager dispatches.
+                bcfg = dataclasses.replace(
+                    config, pitch=dataclasses.replace(config.pitch, viterbi=True)
+                )
+            # Group similar lengths together (file size is a cheap monotone
+            # proxy for sample count within a format) so padding to the
+            # group's bucket rung stays small.
+            recs = sorted(recs, key=lambda r: os.path.getsize(r[0]))
+            for b0 in range(0, len(recs), batch_files):
+                group = recs[b0 : b0 + batch_files]
+                for cur, _sr in group:
+                    start_read(cur)
+                for nxt, _sr in recs[b0 + batch_files : b0 + 2 * batch_files]:
+                    start_read(nxt)
+                block = []  # (path, sr, host samples)
+                for path, sr in group:
+                    try:
+                        samples, _sr_f = take_read(path)
+                        block.append((path, sr, np.asarray(samples)))
+                    except Exception as e:
+                        print(f"{path}: read error, skipping ({type(e).__name__}: {e})",
+                              file=sys.stderr)
+                        manifest[path] = {"error": f"{type(e).__name__}: {e}"}
+                if not block:
+                    continue
+                # Frame-count rung -> sample capacity. A file tail shorter
+                # than one hop past the last full frame is never read by the
+                # framer, so clamping lengths to S keeps nf exact.
+                Fmax = max(
+                    (s.shape[0] - config.frame_len) // config.hop + 1
+                    for _p, _sr, s in block
+                )
+                if bucket_frames:
+                    Fmax = _bucket_target(Fmax, bucket_frames)
+                S = (Fmax - 1) * config.hop + config.frame_len
+                # Keep B fixed at batch_files (zero-file padding) so the
+                # corpus compiles one (B, rung) shape per ladder rung.
+                stacked = np.zeros((batch_files, S), dtype=dtype)
+                lengths = np.zeros((batch_files,), dtype=np.int32)
+                for i, (_p, _sr, s) in enumerate(block):
+                    m = min(s.shape[0], S)
+                    stacked[i, :m] = s[:m]
+                    lengths[i] = m
+                out = _fetch(analyze_batch_padded(stacked, lengths, bcfg))
+                for i, (path, sr, s) in enumerate(block):
+                    F = max((s.shape[0] - config.frame_len) // config.hop + 1, 0)
+                    save(path, {k: v[i, :F] for k, v in out.items()}, sr, None)
+            continue
         if n_dev == 1:
             for i, (path, sr) in enumerate(recs):
                 # Current item's decode first, THEN the prefetch: the single
@@ -773,6 +842,11 @@ def main(argv=None) -> int:
     sc.add_argument("--no-resume", action="store_true", help="reprocess everything")
     sc.add_argument("--sharded", action="store_true",
                     help="shard each file's frames over all devices")
+    sc.add_argument("--batch-files", type=int, default=8,
+                    help="single-device corpus batching: stack N recordings "
+                         "into one (N, S) device program with one dispatch + "
+                         "one result fetch (amortizes per-file latency; "
+                         "1 disables; default 8)")
     common(sc)
     sc.set_defaults(fn=cmd_corpus)
 

@@ -314,6 +314,41 @@ def analyze_batch(frames: jax.Array, config: AnalysisConfig) -> dict:
     return out
 
 
+@partial(jax.jit, static_argnames=("config",))
+def analyze_batch_padded(samples: jax.Array, lengths: jax.Array,
+                         config: AnalysisConfig) -> dict:
+    """analyze_batch over a host-stacked (B, S) block of zero-padded raw
+    signals: framing, per-file valid-frame masking, and the whole pipeline
+    run as ONE compiled program — one dispatch + one result fetch per block.
+
+    This is the corpus batching entry point (cli.py cmd_corpus
+    --batch-files). Stacking FRAMED tensors instead would cost B eager
+    pad/stack dispatches (~25 ms each through the axon tunnel) and upload 4x
+    the audio bytes; here the host uploads raw samples once and the frames
+    never exist outside the graph.
+
+    lengths (B,) int32: each file's true sample count. Frames that would
+    read past a file's end (they contain the file tail + pad zeros, NOT
+    all-zero, so they would emit real pitch candidates and perturb that
+    file's Viterbi path) are zeroed in-graph; all-zero frames are exact
+    padding for every stage (see analyze_batch). Row b, trimmed to the
+    file's frame count, equals analyze(samples_b, config) — pinned in
+    tests/test_cli.py.
+    """
+    samples = jnp.asarray(samples)
+    B, S = samples.shape
+    frames = jax.vmap(
+        lambda x: frame_signal(x, config.frame_len, config.hop)
+    )(samples)  # (B, F, n)
+    F = frames.shape[1]
+    nf = jnp.maximum(
+        (jnp.asarray(lengths, jnp.int32) - config.frame_len) // config.hop + 1, 0
+    )  # (B,) valid frame counts
+    mask = jnp.arange(F, dtype=jnp.int32)[None, :] < nf[:, None]
+    frames = frames * mask[:, :, None].astype(frames.dtype)
+    return analyze_batch(frames, config)
+
+
 def _long_chunk_body(samples, start_frame, est, config: AnalysisConfig, chunk_frames: int):
     """One analyze_long chunk: dynamic-slice the chunk's samples, frame,
     analyze with the carried formant estimates, extract the next carry and
