@@ -145,8 +145,13 @@ def instrumented_batched(paths, outdir, batch_files: int):
     import jax.numpy as jnp  # noqa: F401  (device init)
 
     from voxtpu import native
-    from voxtpu.cli import _bucket_target, _fetch, build_analysis_config, write_features
-    from voxtpu.pipeline import analyze_batch_padded
+    from voxtpu.cli import (
+        _bucket_target, _bucket_target_fine, build_analysis_config,
+        write_features,
+    )
+    from voxtpu.pipeline import (
+        _analyze_batch_padded_packed, _unpack_frames, padded_manifest,
+    )
 
     config = build_analysis_config(float(SR))
     bucket = 1024
@@ -163,54 +168,71 @@ def instrumented_batched(paths, outdir, batch_files: int):
 
     # Warm the (B, rung) shapes outside the timed loop.
     rungs = sorted({
-        _bucket_target(
+        _bucket_target_fine(
             (int(SR * s) - config.frame_len) // config.hop + 1, bucket
         ) for s in LENGTHS_S
     })
     for r in rungs:
         S = (r - 1) * config.hop + config.frame_len
-        out = analyze_batch_padded(
+        padded_manifest(config, batch_files, S, np.float32)  # warm eval_shape
+        np.asarray(_analyze_batch_padded_packed(
             np.zeros((batch_files, S), np.float32),
             np.full((batch_files,), S, np.int32), config,
-        )
-        _fetch({k: v[:1, :1] for k, v in out.items()})
+        ))
     os.makedirs(outdir, exist_ok=True)
 
     paths = sorted(paths, key=os.path.getsize)
     t_read = t_disp = t_fetch = t_write = 0.0
     wall0 = time.perf_counter()
+    inflight = None
+
+    def drain(pend):
+        nonlocal t_fetch, t_write
+        flat, man, group, Fs = pend
+        t0 = time.perf_counter()
+        host = _unpack_frames(np.asarray(flat), man)
+        t_fetch += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for i, p in enumerate(group):
+            write_features(
+                os.path.join(outdir, os.path.splitext(os.path.basename(p))[0] + ".npz"),
+                {k: v[i, : Fs[i]] for k, v in host.items()},
+            )
+        t_write += time.perf_counter() - t0
+
     for b0 in range(0, len(paths), batch_files):
         group = paths[b0 : b0 + batch_files]
         t0 = time.perf_counter()
         sams = [read(p) for p in group]
-        Fmax = _bucket_target(
-            max((s.shape[0] - config.frame_len) // config.hop + 1 for s in sams),
-            bucket,
+        Ftrue = max(
+            (s.shape[0] - config.frame_len) // config.hop + 1 for s in sams
         )
+        Fmax = _bucket_target_fine(Ftrue, bucket)
         S = (Fmax - 1) * config.hop + config.frame_len
         stacked = np.zeros((batch_files, S), np.float32)
         lengths = np.zeros((batch_files,), np.int32)
+        Fs = []
         for i, s in enumerate(sams):
             m = min(s.shape[0], S)
             stacked[i, :m] = s[:m]
             lengths[i] = m
+            Fs.append(max((s.shape[0] - config.frame_len) // config.hop + 1, 0))
         t_read += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        out = analyze_batch_padded(stacked, lengths, config)
+        flat = _analyze_batch_padded_packed(stacked, lengths, config)
+        trim = min(Fmax, max(64, (Ftrue + 63) // 64 * 64))
+        if trim < Fmax:
+            flat = flat[:, :trim, :]  # rung-padding trim: async, pipelines
         t_disp += time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        host = _fetch(out)
-        t_fetch += time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for i, p in enumerate(group):
-            F = max((sams[i].shape[0] - config.frame_len) // config.hop + 1, 0)
-            write_features(
-                os.path.join(outdir, os.path.splitext(os.path.basename(p))[0] + ".npz"),
-                {k: v[i, :F] for k, v in host.items()},
-            )
-        t_write += time.perf_counter() - t0
+        pend = (flat, padded_manifest(config, batch_files, S, np.float32),
+                group, Fs)
+        if inflight is not None:
+            drain(inflight)
+        inflight = pend
+    if inflight is not None:
+        drain(inflight)
     wall = time.perf_counter() - wall0
     return {"read+frame": t_read, "dispatch": t_disp, "fetch": t_fetch,
             "write": t_write, "wall": wall}
@@ -251,7 +273,7 @@ def main():
                 flush=True,
             )
 
-    for bf in (8, 16):
+    for bf in (8, 16, 32):
         r = instrumented_batched(paths, "/tmp/voxtpu_perf_feats", bf)
         xrt = audio_s / r["wall"]
         print(
@@ -264,7 +286,7 @@ def main():
 
     # The honest CLI number (fresh interpreter, warm on-disk compile cache),
     # batched (the default, --batch-files 8) vs per-file.
-    for bf in ("8", "1"):
+    for bf in ("16", "1"):
         outdir = "/tmp/voxtpu_perf_cli_feats"
         shutil.rmtree(outdir, ignore_errors=True)
         t0 = time.perf_counter()

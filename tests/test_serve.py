@@ -105,7 +105,9 @@ def test_packed_analyze_data_parallel_matches_single_device():
     outputs must match the single-device program (8 virtual CPU devices)."""
     import jax
 
-    from voxtpu.serve import _packed_analyze, _unpack
+    from voxtpu.pipeline import _unpack_frames as _unpack
+
+    from voxtpu.serve import _packed_analyze
 
     if jax.device_count() < 4:
         pytest.skip("needs >=4 devices")

@@ -203,6 +203,24 @@ def _resolve_bucket(args) -> int:
 
 _LADDER = (64, 256)  # small-file rungs below the top bucket (VERDICT r3 #6)
 
+# Denser rungs for --batch-files blocks: a block uploads (B, S) raw samples,
+# so rung padding costs tunnel/ICI upload bandwidth as well as padded
+# compute. Measured (scripts/perf_corpus.py): the 340-frame group padded to
+# the 1024 rung uploads ~3x its audio. Per-FILE analysis keeps the coarse
+# ladder (frames are created on device there; padding costs compute only,
+# and fewer rungs = fewer multi-minute cold compiles for ad-hoc runs).
+_LADDER_FINE = (64, 128, 192, 256, 384, 512, 640, 768, 896)
+
+
+def _bucket_target_fine(F: int, bucket: int) -> int:
+    """_bucket_target on the dense batched-block ladder."""
+    if not bucket or F % bucket == 0:
+        return F
+    for rung in _LADDER_FINE:
+        if rung < bucket and F <= rung:
+            return rung
+    return (F + bucket - 1) // bucket * bucket
+
 
 def _bucket_target(F: int, bucket: int) -> int:
     """Padded frame count for F under the bucket ladder.
@@ -523,7 +541,9 @@ def cmd_corpus(args) -> int:
             # runs on device between read and framing.)
             import dataclasses
 
-            from voxtpu.pipeline import analyze_batch_padded
+            from voxtpu.pipeline import (
+                _analyze_batch_padded_packed, _unpack_frames, padded_manifest,
+            )
 
             bcfg = config
             if args.viterbi and config.pitch.enabled:
@@ -536,7 +556,15 @@ def cmd_corpus(args) -> int:
             # proxy for sample count within a format) so padding to the
             # group's bucket rung stays small.
             recs = sorted(recs, key=lambda r: os.path.getsize(r[0]))
-            for b0 in range(0, len(recs), batch_files):
+
+            def drain(pend):
+                flat, manifest_p, block = pend
+                out = _unpack_frames(np.asarray(flat), manifest_p)
+                for i, (path, sr, nfr) in enumerate(block):
+                    save(path, {k: v[i, :nfr] for k, v in out.items()}, sr, None)
+
+            inflight = None  # group-level double buffering: dispatch k+1
+            for b0 in range(0, len(recs), batch_files):  # before fetching k
                 group = recs[b0 : b0 + batch_files]
                 for cur, _sr in group:
                     start_read(cur)
@@ -555,26 +583,45 @@ def cmd_corpus(args) -> int:
                     continue
                 # Frame-count rung -> sample capacity. A file tail shorter
                 # than one hop past the last full frame is never read by the
-                # framer, so clamping lengths to S keeps nf exact.
-                Fmax = max(
+                # framer, so clamping lengths to S keeps nf exact. Batched
+                # blocks use the FINE ladder: sample padding rides the rung
+                # too (the block uploads (B, S) raw samples), so coarse rungs
+                # cost upload bandwidth, not just padded compute.
+                Ftrue = max(
                     (s.shape[0] - config.frame_len) // config.hop + 1
                     for _p, _sr, s in block
                 )
-                if bucket_frames:
-                    Fmax = _bucket_target(Fmax, bucket_frames)
+                Fmax = (_bucket_target_fine(Ftrue, bucket_frames)
+                        if bucket_frames else Ftrue)
                 S = (Fmax - 1) * config.hop + config.frame_len
                 # Keep B fixed at batch_files (zero-file padding) so the
                 # corpus compiles one (B, rung) shape per ladder rung.
                 stacked = np.zeros((batch_files, S), dtype=dtype)
                 lengths = np.zeros((batch_files,), dtype=np.int32)
+                nfs = []
                 for i, (_p, _sr, s) in enumerate(block):
                     m = min(s.shape[0], S)
                     stacked[i, :m] = s[:m]
                     lengths[i] = m
-                out = _fetch(analyze_batch_padded(stacked, lengths, bcfg))
-                for i, (path, sr, s) in enumerate(block):
-                    F = max((s.shape[0] - config.frame_len) // config.hop + 1, 0)
-                    save(path, {k: v[i, :F] for k, v in out.items()}, sr, None)
+                    nfs.append(max((s.shape[0] - config.frame_len) // config.hop + 1, 0))
+                flat = _analyze_batch_padded_packed(stacked, lengths, bcfg)
+                # Trim rung-padding rows before the fetch, quantized to
+                # 64-frame steps: bounded eager-slice program shapes across
+                # an arbitrary corpus (each distinct slice shape is its own
+                # small compiled program).
+                trim = min(Fmax, max(64, (Ftrue + 63) // 64 * 64))
+                if trim < Fmax:
+                    flat = flat[:, :trim, :]
+                pend = (
+                    flat,
+                    padded_manifest(bcfg, batch_files, S, stacked.dtype),
+                    [(p, sr, nf) for (p, sr, _s), nf in zip(block, nfs)],
+                )
+                if inflight is not None:
+                    drain(inflight)
+                inflight = pend
+            if inflight is not None:
+                drain(inflight)
             continue
         if n_dev == 1:
             for i, (path, sr) in enumerate(recs):
@@ -842,11 +889,11 @@ def main(argv=None) -> int:
     sc.add_argument("--no-resume", action="store_true", help="reprocess everything")
     sc.add_argument("--sharded", action="store_true",
                     help="shard each file's frames over all devices")
-    sc.add_argument("--batch-files", type=int, default=8,
+    sc.add_argument("--batch-files", type=int, default=16,
                     help="single-device corpus batching: stack N recordings "
                          "into one (N, S) device program with one dispatch + "
                          "one result fetch (amortizes per-file latency; "
-                         "1 disables; default 8)")
+                         "1 disables; default 16)")
     common(sc)
     sc.set_defaults(fn=cmd_corpus)
 

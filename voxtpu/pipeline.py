@@ -349,6 +349,88 @@ def analyze_batch_padded(samples: jax.Array, lengths: jax.Array,
     return analyze_batch(frames, config)
 
 
+@partial(jax.jit, static_argnames=("config",))
+def _analyze_batch_padded_packed(samples, lengths, config: AnalysisConfig):
+    """analyze_batch_padded with every feature packed FRAME-MAJOR into ONE
+    (B, F, W) buffer in-graph — one fetched buffer instead of a ~12-feature
+    dict. Through the axon tunnel each fetched buffer pays a fixed ~25 ms
+    roundtrip (the dict costs ~300 ms fetched naively — measured both in
+    serve._packed_analyze and scripts/perf_corpus.py), and local PJRT still
+    prefers one contiguous D2H copy. Frame-major layout lets the caller
+    slice away rung padding (rows past the block's true max frame count)
+    before the fetch — at the top 1024 rung the padding is the bulk of the
+    bytes (measured: 4.1 MB/group padded vs ~1.4 MB actual). Packing keeps
+    the samples dtype, so float64 parity mode round-trips exactly."""
+    out = analyze_batch_padded(samples, lengths, config)
+    B, F = samples.shape[0], 0
+    for v in out.values():
+        F = v.shape[1]
+        break
+    return jnp.concatenate(
+        [out[k].reshape(B, F, -1).astype(samples.dtype) for k in sorted(out)],
+        axis=2,
+    )
+
+
+_PADDED_MANIFESTS: dict = {}
+
+
+def padded_manifest(config: AnalysisConfig, B: int, S: int, dtype) -> list:
+    """(key, shape, dtype) unpack manifest for analyze_batch_padded outputs
+    at a given block shape — trace-time only (jax.eval_shape), memoized."""
+    dt = np.dtype(dtype)
+    key = (config, B, S, dt.str)
+    m = _PADDED_MANIFESTS.get(key)
+    if m is None:
+        spec = jax.eval_shape(
+            analyze_batch_padded,
+            jax.ShapeDtypeStruct((B, S), dt),
+            jax.ShapeDtypeStruct((B,), np.int32),
+            config,
+        )
+        m = [(k, tuple(v.shape), np.dtype(v.dtype)) for k, v in sorted(spec.items())]
+        _PADDED_MANIFESTS[key] = m
+    return m
+
+
+def _unpack_frames(flat: np.ndarray, manifest) -> dict:
+    """Invert the frame-major (B, F, W) packing (serve._unpack's sibling for
+    the column layout). flat may be row-trimmed to fewer frames than the
+    manifest's padded F — shapes follow flat."""
+    out = {}
+    B, F = flat.shape[0], flat.shape[1]
+    col = 0
+    for k, shape, dtype in manifest:
+        w = int(np.prod(shape[2:], dtype=np.int64)) if len(shape) > 2 else 1
+        v = flat[:, :, col : col + w].reshape((B, F) + shape[2:])
+        col += w
+        if dtype == np.bool_:
+            v = v != 0
+        elif np.issubdtype(dtype, np.integer):
+            v = np.rint(v).astype(dtype)
+        out[k] = v
+    return out
+
+
+def analyze_batch_padded_fetch(samples, lengths, config: AnalysisConfig,
+                               trim_to: int | None = None) -> dict:
+    """Host convenience wrapper: packed dispatch + ONE buffer fetch + unpack.
+    Returns the analyze_batch_padded dict as host numpy arrays.
+
+    trim_to: fetch only the first trim_to frame rows (the block's true max
+    frame count, known on the host from lengths) — the eager device-side
+    slice pipelines behind the pipeline dispatch and cuts the fetched bytes
+    to the data that exists."""
+    samples = np.asarray(samples)
+    lengths = np.asarray(lengths, np.int32)
+    manifest = padded_manifest(config, samples.shape[0], samples.shape[1],
+                               samples.dtype)
+    flat = _analyze_batch_padded_packed(samples, lengths, config)
+    if trim_to is not None and trim_to < flat.shape[1]:
+        flat = flat[:, :trim_to, :]
+    return _unpack_frames(np.asarray(flat), manifest)
+
+
 def _long_chunk_body(samples, start_frame, est, config: AnalysisConfig, chunk_frames: int):
     """One analyze_long chunk: dynamic-slice the chunk's samples, frame,
     analyze with the carried formant estimates, extract the next carry and

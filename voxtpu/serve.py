@@ -193,8 +193,9 @@ class _LRU:
 
 def _packed_analyze(config, B: int, Fp: int, n: int, dp: int = 1, cache: _LRU | None = None):
     """One compiled program per (config, B, Fp, n, dp) that runs
-    `analyze_batch` AND flattens every feature into a single (B, total)
-    float32 buffer.
+    `analyze_batch` AND packs every feature FRAME-MAJOR into a single
+    (B, Fp, W) float32 buffer (unpacked by pipeline._unpack_frames; the
+    dispatcher slices off rung-padding rows before the fetch).
 
     Through the axon tunnel each fetched buffer pays a fixed per-buffer
     roundtrip (~25 ms; the ~12-feature dict costs ~300 ms fetched naively —
@@ -225,9 +226,12 @@ def _packed_analyze(config, B: int, Fp: int, n: int, dp: int = 1, cache: _LRU | 
 
     def packed(frames):
         out = analyze_batch(frames, config)
+        # FRAME-MAJOR (B, Fp, W): lets the dispatcher slice away bucket-rung
+        # padding rows (Fp vs the batch's true max frame count) before the
+        # fetch — at the top rung the padding is most of the bytes.
         return jnp.concatenate(
-            [out[k].reshape(B, -1).astype(jnp.float32) for k, _s, _d in manifest],
-            axis=1,
+            [out[k].reshape(B, Fp, -1).astype(jnp.float32) for k, _s, _d in manifest],
+            axis=2,
         )
 
     if dp > 1:
@@ -242,7 +246,7 @@ def _packed_analyze(config, B: int, Fp: int, n: int, dp: int = 1, cache: _LRU | 
         fn = jax.jit(
             packed,
             in_shardings=NamedSharding(mesh, P("files", None, None)),
-            out_shardings=NamedSharding(mesh, P("files", None)),
+            out_shardings=NamedSharding(mesh, P("files", None, None)),
         )
     else:
         fn = jax.jit(packed)
@@ -450,6 +454,14 @@ class _MicroBatcher:
             )
             t0 = time.monotonic()
             flat_dev = packed_fn(jnp.asarray(stack))  # async under jax
+            # Trim quantized to 64-frame steps: bounded slice-program
+            # shapes under arbitrary request lengths.
+            Fmaxb = min(Fp, max(64, (max(it.F for it in items) + 63) // 64 * 64))
+            if Fmaxb < Fp:
+                # Rung-padding trim before the fetch: async device slice,
+                # pipelines behind the batch compute; cuts fetched bytes to
+                # the frames that exist (measured in scripts/perf_serve.py).
+                flat_dev = flat_dev[:, :Fmaxb, :]
             return (key, items, B, flat_dev, manifest, t0)
         except Exception:  # surface device/compile failures to every waiter
             err = traceback.format_exc()
@@ -465,7 +477,9 @@ class _MicroBatcher:
             flat = np.asarray(flat_dev)  # blocks until the device finishes
             dt = time.monotonic() - t0
             self.stats.record_batch(len(items), B, dt, key)
-            out = _unpack(flat, manifest)
+            from voxtpu.pipeline import _unpack_frames
+
+            out = _unpack_frames(flat, manifest)
             for i, it in enumerate(items):
                 it.result = {k: v[i, : it.F] for k, v in out.items()}
                 it.event.set()
@@ -620,6 +634,11 @@ class _StreamSession:
             est = (est_f, jnp.full_like(est_f, self.config.formant.estimate_bandwidth))
         t0 = time.monotonic()
         flat, new_est = fn(jnp.asarray(frames, jnp.float32), jnp.int32(nf), *est)
+        if int(nf) < Cf:
+            # Final-partial-chunk trim: the stream layout is already
+            # frame-major (rows = frames), so slice off the pad rows before
+            # the fetch (StreamAnalyzer re-trims to nf — a no-op after this).
+            flat = flat[:nf]
         flat = np.asarray(flat)  # the only roundtrip; new_est stays on device
         self.stats.record_stream_chunk(nf, time.monotonic() - t0, (1, Cf, n))
         return _unpack(flat, manifest), new_est
