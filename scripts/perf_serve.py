@@ -140,17 +140,83 @@ def main():
     print(json.dumps(srv2.stats.snapshot(), indent=1), flush=True)
     srv2.shutdown()
 
+    stream_session()
     saturation_sweep()
+
+
+def stream_session():
+    """Streaming-session latency on the chip: open one /stream session at
+    44.1 kHz, append the two-vowels recording as raw f32le PCM in ~1 s
+    bodies, time each append (appends that complete a 512-frame chunk run
+    one warm device dispatch; the rest are host-only buffering)."""
+    import http.client
+
+    from voxtpu.io_wav import read_wav
+    from voxtpu.serve import ServeConfig, VoxServer
+
+    srv = VoxServer(ServeConfig(host="127.0.0.1", port=0, bucket=1024))
+    host, port = srv.start()
+
+    def post(path, body=b""):
+        conn = http.client.HTTPConnection(host, port, timeout=1800)
+        conn.request("POST", path, body=body)
+        r = conn.getresponse()
+        data = r.read()
+        conn.close()
+        assert r.status == 200, data[:400]
+        return json.loads(data)
+
+    wav = read_wav(os.path.join("tests", "fixtures", "sample-two_vowels.wav"),
+                   dtype=np.float32)
+    pcm = np.ascontiguousarray(wav.samples, np.float32).tobytes()
+    block = 44100 * 4  # ~1 s of f32le per append
+
+    for label in ("cold", "warm"):
+        sid = post("/stream/open?rate=44100&encoding=f32le")["session"]
+        t_appends, t0_all = [], time.perf_counter()
+        for off in range(0, len(pcm), block):
+            t0 = time.perf_counter()
+            post(f"/stream/append?session={sid}", pcm[off : off + block])
+            t_appends.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        post(f"/stream/close?session={sid}")
+        t_close = time.perf_counter() - t0
+        wall = time.perf_counter() - t0_all
+        audio_s = wav.samples.shape[0] / 44100.0
+        print(
+            f"stream session ({label}): {len(t_appends)} appends of ~1 s, "
+            f"wall {wall*1e3:.0f} ms (+close {t_close*1e3:.0f} ms) -> "
+            f"{audio_s/wall:.0f}x real-time; append p50 "
+            f"{sorted(t_appends)[len(t_appends)//2]*1e3:.1f} ms, "
+            f"max {max(t_appends)*1e3:.1f} ms",
+            flush=True,
+        )
+    print(json.dumps(srv.stats.snapshot(), indent=1), flush=True)
+    srv.shutdown()
 
 
 def saturation_sweep():
     """VERDICT r4 #3: concurrency {1,2,4,8,16} x clip {0.26 s, 2.8 s},
     reporting QPS, p50/p95 request latency, aggregate x-real-time, and the
-    device-busy fraction — for dispatcher pipeline_depth 0 (strictly
+    batch-lane occupancy — for dispatcher pipeline_depth 0 (strictly
     synchronous: fetch batch k before dispatching k+1) vs 1 (double-buffered:
     batch k's tunnel fetch + host unpack overlap batch k+1's device compute).
+
+    "lane busy" = stats.device_time_s / wall, where device_time_s is each
+    batch's dispatch->fetch-complete wall. Through the axon tunnel that is
+    dominated by the ~26 ms round-trip, not device compute (~1-2 ms/batch at
+    these clip sizes) — read it as occupancy of the serialized dispatch lane,
+    the resource double-buffering overlaps.
     """
     import http.client
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from voxtpu.serve import ServeConfig, VoxServer
 
@@ -182,7 +248,17 @@ def saturation_sweep():
         print(f"\n-- pipeline_depth={depth} "
               f"({'double-buffered' if depth else 'synchronous'})", flush=True)
         for name, body, audio_s in clips:
-            post(body)  # warm this clip's shapes
+            post(body)  # warm this clip's (1, F, n) shape
+            # Warm every pow2 batch shape a timed row can coalesce into
+            # (compiles are shape discipline, not serving throughput — an
+            # unwarmed row reads the ~40 s cache replay, not the server).
+            for nwarm in (16, 8, 4, 2, 16):
+                ts = [threading.Thread(target=post, args=(body,))
+                      for _ in range(nwarm)]
+                for t in ts:
+                    t.start()
+                for t in ts:
+                    t.join()
             for clients in (1, 2, 4, 8, 16):
                 total = max(24, clients * 6)
                 before = srv.stats.snapshot()
@@ -218,7 +294,7 @@ def saturation_sweep():
                     f"{name[:12]:12s} ({audio_s:4.2f}s) c={clients:2d}: "
                     f"{total / wall:6.1f} req/s  p50 {p50:6.1f} ms  "
                     f"p95 {p95:6.1f} ms  {total * audio_s / wall:7.0f}x rt  "
-                    f"device busy {min(1.0, dev / wall) * 100:3.0f}%",
+                    f"lane busy {min(1.0, dev / wall) * 100:3.0f}%",
                     flush=True,
                 )
         srv.shutdown()

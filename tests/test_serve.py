@@ -124,8 +124,86 @@ def test_packed_analyze_data_parallel_matches_single_device():
         np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-5, err_msg=k)
 
 
+@pytest.mark.skipif(
+    not os.environ.get("VOXTPU_SHARDED_SUBTEST"),
+    reason="multi-device compile; runs in the child pytest "
+    "(test_serve_dp_group_in_subprocess)",
+)
+def test_packed_analyze_padded_data_parallel_matches_single_device():
+    """The samples-transport production program (`_packed_analyze_padded`)
+    under dp>1: GSPMD over ('files',) must match the single-device program,
+    with lengths sharded alongside their rows."""
+    import jax
+
+    from voxtpu.pipeline import _unpack_frames as _unpack
+
+    from voxtpu.serve import _packed_analyze_padded, _samples_for_frames
+
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 devices")
+    cfg = _tiny_cfg(viterbi=True)
+    Fp = 6
+    S = _samples_for_frames(cfg, Fp)
+    rng = np.random.default_rng(3)
+    t = np.arange(S) / 8000.0
+    samples = (np.sin(2 * np.pi * 220.0 * t)[None, :]
+               + 0.15 * rng.standard_normal((4, S))).astype(np.float32)
+    lengths = np.array([S, S - cfg.hop, S, S - 2 * cfg.hop], np.int32)
+    for i, L in enumerate(lengths):
+        samples[i, L:] = 0.0
+    fn1, m1 = _packed_analyze_padded(cfg, 4, Fp, dp=1)
+    fn4, m4 = _packed_analyze_padded(cfg, 4, Fp, dp=4)
+    assert m1 == m4
+    import jax.numpy as jnp
+
+    a = _unpack(np.asarray(fn1(jnp.asarray(samples), jnp.asarray(lengths))), m1)
+    b = _unpack(np.asarray(fn4(jnp.asarray(samples), jnp.asarray(lengths))), m4)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-5, err_msg=k)
+
+
+def test_packed_padded_transport_matches_frames_transport():
+    """The r5 transport swap's direct pin: the samples-transport program
+    (in-graph framing, `_packed_analyze_padded`) produces the same features
+    as the frames-transport program it replaced (`_packed_analyze` on
+    host-framed stacks) — framing is pure data movement."""
+    import jax.numpy as jnp
+
+    from voxtpu.pipeline import _unpack_frames as _unpack
+    from voxtpu.serve import (
+        _frame_host, _packed_analyze, _packed_analyze_padded,
+        _samples_for_frames,
+    )
+
+    cfg = _tiny_cfg()
+    Fp = 6
+    S = _samples_for_frames(cfg, Fp)
+    rng = np.random.default_rng(7)
+    t = np.arange(S) / 8000.0
+    base = np.sin(2 * np.pi * 220.0 * t)
+    B = 2
+    # File 0 fills the rung; file 1 is shorter (4 of 6 frames) — its padded
+    # rows must match the host-zero-padded frames of the old transport.
+    Ls = [S, _samples_for_frames(cfg, 4)]
+    samples = np.zeros((B, S), np.float32)
+    frames = np.zeros((B, Fp, cfg.frame_len), np.float32)
+    for i, L in enumerate(Ls):
+        x = (base[:L] + 0.1 * rng.standard_normal(L)).astype(np.float32)
+        samples[i, :L] = x
+        fh = _frame_host(x, cfg.frame_len, cfg.hop)
+        frames[i, : fh.shape[0]] = fh
+    fn_f, m_f = _packed_analyze(cfg, B, Fp, cfg.frame_len)
+    fn_s, m_s = _packed_analyze_padded(cfg, B, Fp)
+    assert m_f == m_s
+    a = _unpack(np.asarray(fn_f(jnp.asarray(frames))), m_f)
+    b = _unpack(np.asarray(fn_s(jnp.asarray(samples),
+                                jnp.asarray(np.array(Ls, np.int32)))), m_s)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-6, err_msg=k)
+
+
 def test_serve_dp_group_in_subprocess():
-    """Run the multi-device serving test in a fresh child pytest (the same
+    """Run the multi-device serving tests in a fresh child pytest (the same
     isolation test_pipeline uses for its shard_map group)."""
     import subprocess
     import sys
@@ -140,7 +218,7 @@ def test_serve_dp_group_in_subprocess():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert r.returncode == 0, f"dp child failed\n{r.stdout[-3000:]}\n{r.stderr[-1500:]}"
-    assert "1 passed" in r.stdout, r.stdout[-2000:]
+    assert "2 passed" in r.stdout, r.stdout[-2000:]
 
 
 def test_serve_config_validation():

@@ -407,7 +407,11 @@ def test_warmup_covers_all_allowed_rates():
     try:
         srv.warmup(shapes=[(1, 64)])
         keys = list(srv.cache._d)
-        rates = sorted({k[0].sample_rate for k in keys if not isinstance(k[0], str)})
+        # Production keys are ("padded", config, B, Fp, dp); stream keys
+        # ("stream", config, ...). Pull the config element from each.
+        rates = sorted({
+            e.sample_rate for k in keys for e in k if hasattr(e, "sample_rate")
+        })
         assert rates == [8000.0, 16000.0], keys
     finally:
         srv.shutdown()

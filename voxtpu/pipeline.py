@@ -562,9 +562,22 @@ class StreamAnalyzer:
     count, and `est` the opaque carry threaded between calls (None first).
     The returned dict must include ``_stream_local_peak`` and is trimmed to
     `nf` frames here.
+
+    step_samples: like `step` but receives the HOST sample buffer instead of
+    device frames: ``step_samples(samples, nf, est)`` with `samples` a
+    zero-padded ((chunk_frames-1)*hop + frame_len,) float32 numpy array. The
+    callee frames in-graph and MUST zero frame rows >= nf (rows past the
+    last full frame overlap the real tail samples — see
+    analyze_batch_padded). Shipping samples instead of frames cuts the
+    host->device bytes ~frame_len/hop-fold and removes the eager framing
+    dispatches (~25 ms each through the axon tunnel; serve.py's stream
+    sessions use this). Mutually exclusive with `step`.
     """
 
-    def __init__(self, config: AnalysisConfig, chunk_frames: int = 512, step=None):
+    def __init__(self, config: AnalysisConfig, chunk_frames: int = 512, step=None,
+                 step_samples=None):
+        if step is not None and step_samples is not None:
+            raise ValueError("pass step or step_samples, not both")
         if config.pitch.enabled and config.pitch.viterbi:
             raise ValueError(
                 "streaming analysis cannot run Viterbi (whole-recording DP); "
@@ -578,6 +591,7 @@ class StreamAnalyzer:
         self._est = None
         self._buf = None
         self._step = step if step is not None else self._default_step
+        self._step_samples = step_samples
         self.frames_done = 0
 
     def _default_step(self, frames, nf, est):
@@ -590,13 +604,19 @@ class StreamAnalyzer:
         return out, est
 
     def _emit_chunk(self, nf: int) -> dict:
-        frames = frame_signal(
-            jnp.asarray(self._buf[: (nf - 1) * self._hop + self._n]),
-            self._n, self._hop,
-        )
-        if nf < self.chunk_frames:
-            frames = jnp.pad(frames, [(0, self.chunk_frames - nf), (0, 0)])
-        out, self._est = self._step(frames, nf, self._est)
+        if self._step_samples is not None:
+            pad = np.zeros((self._chunk_samples,), self._buf.dtype)
+            L = (nf - 1) * self._hop + self._n
+            pad[:L] = self._buf[:L]
+            out, self._est = self._step_samples(pad, nf, self._est)
+        else:
+            frames = frame_signal(
+                jnp.asarray(self._buf[: (nf - 1) * self._hop + self._n]),
+                self._n, self._hop,
+            )
+            if nf < self.chunk_frames:
+                frames = jnp.pad(frames, [(0, self.chunk_frames - nf), (0, 0)])
+            out, self._est = self._step(frames, nf, self._est)
         self._buf = self._buf[nf * self._hop :]  # keep the overlap tail
         self.frames_done += nf
         return {k: v[:nf] for k, v in out.items()}

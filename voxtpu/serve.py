@@ -13,11 +13,17 @@ that loop becomes at scale:
   the batch axis to powers of two up to `max_batch` — so arbitrary traffic
   never triggers unbounded recompilation.
 - **Micro-batching.** Concurrent requests with the same (config, padded-F)
-  key gather for `window_ms` and run as ONE fixed-shape
-  `(B, F, n)` device dispatch (`voxtpu.pipeline.analyze_batch`, exact
-  per-file isolation) — the MXU sees batches, not single files, and the
-  per-dispatch latency (~25 ms through the axon tunnel; microseconds on
-  local PJRT) amortizes across requests.
+  key gather for `window_ms` and run as ONE fixed-shape device dispatch —
+  the MXU sees batches, not single files, and the per-dispatch latency
+  (~25 ms through the axon tunnel; microseconds on local PJRT) amortizes
+  across requests.
+- **Samples-transport dispatch.** The batch ships as a host-stacked (B, S)
+  block of RAW samples + true lengths and frames IN-GRAPH
+  (`voxtpu.pipeline.analyze_batch_padded`, exact per-file isolation).
+  Host-side framing would ship each sample frame_len/hop (~5x) times plus
+  rung padding: measured 9.0 MB framed vs 0.5 MB raw for one 2.83 s clip (18x) —
+  the difference dominated warm request latency through the tunnel
+  (scripts/perf_serve.py, r5 frames-vs-samples A/B).
 
 Endpoints:
   POST /analyze?<params>   WAV bytes in -> JSON (default) or npz features
@@ -130,10 +136,14 @@ class RequestError(ValueError):
 
 
 class _Pending:
-    __slots__ = ("frames", "F", "event", "result", "error", "t_enqueue")
+    __slots__ = ("samples", "F", "event", "result", "error", "t_enqueue")
 
-    def __init__(self, frames: np.ndarray, F: int):
-        self.frames = frames  # (Fp, n) float32, zero-padded past F
+    def __init__(self, samples: np.ndarray, F: int):
+        # (L,) float32 raw samples, L = (F-1)*hop + frame_len exactly — the
+        # dispatcher stacks SAMPLES and frames in-graph (framing on the host
+        # would ship ~5x the bytes, hop-overlapped and rung-padded, through
+        # the host->device link; measured in scripts/perf_serve.py).
+        self.samples = samples
         self.F = F
         self.event = threading.Event()
         self.result = None
@@ -192,10 +202,17 @@ class _LRU:
 
 
 def _packed_analyze(config, B: int, Fp: int, n: int, dp: int = 1, cache: _LRU | None = None):
-    """One compiled program per (config, B, Fp, n, dp) that runs
-    `analyze_batch` AND packs every feature FRAME-MAJOR into a single
-    (B, Fp, W) float32 buffer (unpacked by pipeline._unpack_frames; the
-    dispatcher slices off rung-padding rows before the fetch).
+    """FRAMES-transport packed program: one per (config, B, Fp, n, dp) that
+    runs `analyze_batch` on a host-framed (B, Fp, n) stack AND packs every
+    feature FRAME-MAJOR into a single (B, Fp, W) float32 buffer (unpacked by
+    pipeline._unpack_frames; the dispatcher slices off rung-padding rows
+    before the fetch).
+
+    NOT the production dispatch path since r5: `_packed_analyze_padded`
+    (samples transport, in-graph framing) replaced it after the A/B measured
+    the framed stack's ~5x host->device bytes dominating warm request
+    latency through the tunnel. Kept as the A/B reference and for embedders
+    that already hold framed tensors.
 
     Through the axon tunnel each fetched buffer pays a fixed per-buffer
     roundtrip (~25 ms; the ~12-feature dict costs ~300 ms fetched naively —
@@ -256,16 +273,97 @@ def _packed_analyze(config, B: int, Fp: int, n: int, dp: int = 1, cache: _LRU | 
     return fn, manifest
 
 
+def _samples_for_frames(config, Fp: int) -> int:
+    """Sample count whose in-graph framing yields exactly Fp frames."""
+    return (Fp - 1) * config.hop + config.frame_len
+
+
+def _packed_analyze_padded(config, B: int, Fp: int, dp: int = 1,
+                           cache: _LRU | None = None):
+    """Samples-transport sibling of `_packed_analyze`: one compiled program
+    per (config, B, Fp, dp) taking a host-stacked (B, S) block of zero-padded
+    RAW samples plus (B,) true lengths, framing IN-GRAPH
+    (`pipeline.analyze_batch_padded`), and packing every feature FRAME-MAJOR
+    into a single (B, Fp, W) float32 buffer.
+
+    This is the production dispatch path. Shipping host-framed (B, Fp, n)
+    stacks instead costs ~5x the host->device bytes (hop-overlap duplicates
+    each sample frame_len/hop times, and the bucket rung pads the rest): the
+    2.83 s two-vowels clip is 0.5 MB of samples but 9.0 MB framed at the
+    1024 rung (18x) — ~200 ms through the ~40 MB/s axon tunnel, which dominated
+    the measured warm request latency (scripts/perf_serve.py, the r5
+    frames-vs-samples A/B). Frames never exist outside the graph; the same
+    lesson the corpus runner's --batch-files path learned
+    (pipeline.analyze_batch_padded docstring).
+    """
+    key = ("padded", config, B, Fp, dp)
+    if cache is not None:
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+    import jax
+    import jax.numpy as jnp
+
+    from voxtpu.pipeline import analyze_batch_padded
+
+    S = _samples_for_frames(config, Fp)
+    spec = jax.eval_shape(
+        analyze_batch_padded,
+        jax.ShapeDtypeStruct((B, S), jnp.float32),
+        jax.ShapeDtypeStruct((B,), jnp.int32),
+        config,
+    )
+    manifest = [(k, tuple(v.shape), np.dtype(v.dtype)) for k, v in sorted(spec.items())]
+
+    def packed(samples, lengths):
+        out = analyze_batch_padded(samples, lengths, config)
+        # FRAME-MAJOR (B, Fp, W): the dispatcher slices away bucket-rung
+        # padding rows before the fetch (see _packed_analyze).
+        return jnp.concatenate(
+            [out[k].reshape(B, Fp, -1).astype(jnp.float32) for k, _s, _d in manifest],
+            axis=2,
+        )
+
+    if dp > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        if B % dp:
+            raise ValueError(f"batch {B} not divisible by data_parallel {dp}")
+        devices = jax.devices()
+        if dp > len(devices):
+            raise ValueError(f"data_parallel {dp} > {len(devices)} devices")
+        mesh = Mesh(np.asarray(devices[:dp]), ("files",))
+        fn = jax.jit(
+            packed,
+            in_shardings=(
+                NamedSharding(mesh, P("files", None)),
+                NamedSharding(mesh, P("files")),
+            ),
+            out_shardings=NamedSharding(mesh, P("files", None, None)),
+        )
+    else:
+        fn = jax.jit(packed)
+
+    if cache is not None:
+        cache.put(key, (fn, manifest))
+    return fn, manifest
+
+
 def _packed_stream(config, Cf: int, n: int, cache: _LRU | None = None):
     """One compiled program per (config, Cf, n) running a single streaming
-    chunk: `analyze_frames` with the carried formant estimates
-    (/root/reference/src/spectrum.rs:336-369 — the incremental
+    chunk: in-graph framing of the chunk's RAW samples (samples transport —
+    the same ~frame_len/hop host->device byte saving as
+    `_packed_analyze_padded`, and no eager framing dispatches, ~25 ms each
+    through the axon tunnel), `analyze_frames` with the carried formant
+    estimates (/root/reference/src/spectrum.rs:336-369 — the incremental
     FormantExtractor iterator idiom), the per-frame peak for the
     end-of-stream Viterbi, and ONE packed (Cf, total) float32 output buffer,
     so each append costs a single device fetch through the axon tunnel. The
     (est_f, est_b) carry stays ON DEVICE between appends — threading it
     costs no roundtrips. `nf` (the chunk's real frame count) is traced, so
-    partial final chunks reuse the same executable."""
+    partial final chunks reuse the same executable; frame rows >= nf overlap
+    the real tail samples and are zeroed in-graph (exactly the old
+    host-padded frame rows)."""
     key = ("stream", config, Cf, n)
     if cache is not None:
         hit = cache.get(key)
@@ -274,12 +372,17 @@ def _packed_stream(config, Cf: int, n: int, cache: _LRU | None = None):
     import jax
     import jax.numpy as jnp
 
+    from voxtpu.frame import frame_signal
     from voxtpu.pipeline import analyze_frames
 
     R = len(config.formant.estimates)
     est_spec = jax.ShapeDtypeStruct((R,), jnp.float32)
+    S = (Cf - 1) * config.hop + n
 
-    def run(frames, nf, est_f, est_b):
+    def run(samples, nf, est_f, est_b):
+        frames = frame_signal(samples, n, config.hop)  # (Cf, n)
+        mask = jnp.arange(Cf, dtype=jnp.int32) < nf
+        frames = frames * mask[:, None].astype(frames.dtype)
         out = analyze_frames(frames, config, formant_estimates=(est_f, est_b))
         out["_stream_local_peak"] = jnp.max(jnp.abs(frames), axis=-1)
         if config.formant.enabled:
@@ -292,15 +395,15 @@ def _packed_stream(config, Cf: int, n: int, cache: _LRU | None = None):
 
     spec, _ = jax.eval_shape(
         run,
-        jax.ShapeDtypeStruct((Cf, n), jnp.float32),
+        jax.ShapeDtypeStruct((S,), jnp.float32),
         jax.ShapeDtypeStruct((), jnp.int32),
         est_spec,
         est_spec,
     )
     manifest = [(k, tuple(v.shape), np.dtype(v.dtype)) for k, v in sorted(spec.items())]
 
-    def packed(frames, nf, est_f, est_b):
-        out, new = run(frames, nf, est_f, est_b)
+    def packed(samples, nf, est_f, est_b):
+        out, new = run(samples, nf, est_f, est_b)
         flat = jnp.concatenate(
             [out[k].reshape(Cf, -1).astype(jnp.float32) for k, _s, _d in manifest],
             axis=1,
@@ -446,14 +549,20 @@ class _MicroBatcher:
             # the files mesh axis.
             dp = self.cfg.data_parallel
             eff_dp = dp if dp > 1 and B >= dp else 1
-            stack = np.zeros((B, Fp, n), dtype=np.float32)
+            # Stack raw SAMPLES, frame in-graph: each request's samples span
+            # exactly its F frames ((F-1)*hop + frame_len), so the in-graph
+            # length mask marks precisely the frames that exist.
+            S = _samples_for_frames(config, Fp)
+            stack = np.zeros((B, S), dtype=np.float32)
+            lengths = np.zeros((B,), dtype=np.int32)
             for i, it in enumerate(items):
-                stack[i] = it.frames
-            packed_fn, manifest = _packed_analyze(
-                config, B, Fp, n, dp=eff_dp, cache=self.cache
+                stack[i, : it.samples.shape[0]] = it.samples
+                lengths[i] = it.samples.shape[0]
+            packed_fn, manifest = _packed_analyze_padded(
+                config, B, Fp, dp=eff_dp, cache=self.cache
             )
             t0 = time.monotonic()
-            flat_dev = packed_fn(jnp.asarray(stack))  # async under jax
+            flat_dev = packed_fn(jnp.asarray(stack), jnp.asarray(lengths))
             # Trim quantized to 64-frame steps: bounded slice-program
             # shapes under arbitrary request lengths.
             Fmaxb = min(Fp, max(64, (max(it.F for it in items) + 63) // 64 * 64))
@@ -619,11 +728,15 @@ class _StreamSession:
         self.closed = False
         self.viterbi = bool(p.get("viterbi")) and config.pitch.enabled
         self._vit_acc: list = []
-        self.analyzer = StreamAnalyzer(config, chunk_frames, step=self._packed_step)
+        self.analyzer = StreamAnalyzer(
+            config, chunk_frames, step_samples=self._packed_step
+        )
 
-    # StreamAnalyzer step override: one packed dispatch + ONE fetch per chunk
-    # (each naive per-feature fetch is a ~25 ms tunnel roundtrip).
-    def _packed_step(self, frames, nf, est):
+    # StreamAnalyzer step_samples override: raw samples in (framing happens
+    # in-graph — ~frame_len/hop fewer host->device bytes, no eager framing
+    # dispatches), one packed dispatch + ONE fetch per chunk (each naive
+    # per-feature fetch is a ~25 ms tunnel roundtrip).
+    def _packed_step(self, samples, nf, est):
         import jax.numpy as jnp
 
         n = self.config.frame_len
@@ -633,7 +746,7 @@ class _StreamSession:
             est_f = jnp.asarray(self.config.formant.estimates, dtype=jnp.float32)
             est = (est_f, jnp.full_like(est_f, self.config.formant.estimate_bandwidth))
         t0 = time.monotonic()
-        flat, new_est = fn(jnp.asarray(frames, jnp.float32), jnp.int32(nf), *est)
+        flat, new_est = fn(jnp.asarray(samples, jnp.float32), jnp.int32(nf), *est)
         if int(nf) < Cf:
             # Final-partial-chunk trim: the stream layout is already
             # frame-major (rows = frames), so slice off the pad rows before
@@ -858,7 +971,14 @@ class VoxServer:
                 self.end_headers()
                 self.wfile.write(data)
 
-        self.httpd = ThreadingHTTPServer((cfg.host, cfg.port), Handler)
+        # http.server's default accept backlog is 5: a 16-connection burst
+        # overflows it and clients see ConnectionResetError before the
+        # request is even read (observed in scripts/perf_serve.py's
+        # saturation sweep). Size it to the traffic the batcher is built for.
+        class _Server(ThreadingHTTPServer):
+            request_queue_size = 128
+
+        self.httpd = _Server((cfg.host, cfg.port), Handler)
         self.httpd.daemon_threads = True
 
     # ---- request pipeline -------------------------------------------------
@@ -956,13 +1076,19 @@ class VoxServer:
         samples, note = _select_channel(wav.samples, p.get("channel", "0"))
         config = self._config(float(wav.sample_rate), p)
 
-        frames = _frame_host(samples, config.frame_len, config.hop)
-        F = frames.shape[0]
+        if samples.shape[0] < config.frame_len:
+            raise RequestError(
+                f"audio shorter than one frame "
+                f"({samples.shape[0]} < {config.frame_len} samples)"
+            )
+        F = (samples.shape[0] - config.frame_len) // config.hop + 1
         Fp = _bucket_target(F, self.cfg.bucket)
-        if Fp != F:
-            frames = np.pad(frames, [(0, Fp - F), (0, 0)])
+        # Trim the tail past the last frame's window (no frame reads it, in
+        # either framing); the dispatcher zero-pads rows to the rung's S.
+        L = (F - 1) * config.hop + config.frame_len
+        samples = np.ascontiguousarray(samples[:L], dtype=np.float32)
 
-        item = _Pending(frames, F)
+        item = _Pending(samples, F)
         self.batcher.submit((config, Fp, config.frame_len), item)
         if not item.event.wait(self.cfg.request_timeout_s):
             raise TimeoutError(
@@ -974,7 +1100,8 @@ class VoxServer:
 
         if p.get("viterbi") and config.pitch.enabled:
             # Host-side path search on the trimmed candidates (see _config).
-            lp = np.max(np.abs(frames[:F]), axis=-1)
+            frames_h = _frame_host(samples, config.frame_len, config.hop)
+            lp = np.max(np.abs(frames_h[:F]), axis=-1)
             item.result.update(_viterbi_host(item.result, lp, config.pitch.fmax))
 
         meta = {
@@ -1194,10 +1321,12 @@ class VoxServer:
             for B, rung in shapes:
                 dp = self.cfg.data_parallel
                 eff_dp = dp if dp > 1 and B >= dp else 1
-                fn, _m = _packed_analyze(
-                    config, B, rung, config.frame_len, dp=eff_dp, cache=self.cache
+                fn, _m = _packed_analyze_padded(
+                    config, B, rung, dp=eff_dp, cache=self.cache
                 )
-                np.asarray(fn(jnp.zeros((B, rung, config.frame_len), jnp.float32)))
+                S = _samples_for_frames(config, rung)
+                np.asarray(fn(jnp.zeros((B, S), jnp.float32),
+                              jnp.zeros((B,), jnp.int32)))
 
     @property
     def address(self):
