@@ -191,6 +191,32 @@ def stream_session():
             f"max {max(t_appends)*1e3:.1f} ms",
             flush=True,
         )
+    # Concurrent sessions: N live streams interleaving warm chunk dispatches
+    # on one server (per-session device-resident carry; thread-safety +
+    # isolation pinned in test_stream_concurrent_sessions_are_isolated).
+    import threading
+
+    audio_s = wav.samples.shape[0] / 44100.0
+    for nsess in (2, 4, 8):
+        def run_one():
+            sid = post("/stream/open?rate=44100&encoding=f32le")["session"]
+            for off in range(0, len(pcm), block):
+                post(f"/stream/append?session={sid}", pcm[off : off + block])
+            post(f"/stream/close?session={sid}")
+
+        t0 = time.perf_counter()
+        ts = [threading.Thread(target=run_one) for _ in range(nsess)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        wall = time.perf_counter() - t0
+        print(
+            f"stream sessions x{nsess} (warm, concurrent): wall "
+            f"{wall*1e3:.0f} ms -> {nsess*audio_s/wall:.0f}x real-time "
+            f"aggregate",
+            flush=True,
+        )
     print(json.dumps(srv.stats.snapshot(), indent=1), flush=True)
     srv.shutdown()
 

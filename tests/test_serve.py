@@ -434,6 +434,17 @@ def test_serve_errors_do_not_kill_daemon(server):
     assert status == 400 and b"out of range" in data
     status, data = _post(host, port, b"")
     assert status == 400
+    # Audio shorter than one frame: rejected up front (the samples-transport
+    # dispatcher computes F from the sample count; F would be 0).
+    import struct
+    n_short = 8  # 8 samples << the 50 ms frame at 8 kHz
+    short_wav = (
+        b"RIFF" + struct.pack("<I", 36 + 2 * n_short) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 2 * n_short) + b"\x00" * (2 * n_short)
+    )
+    status, data = _post(host, port, short_wav)
+    assert status == 400 and b"shorter than one frame" in data
     status, health = _get(host, port, "/healthz")
     assert status == 200 and health["status"] == "ok"
     conn = http.client.HTTPConnection(host, port, timeout=60.0)

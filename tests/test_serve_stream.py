@@ -127,6 +127,44 @@ def test_stream_http_equals_one_shot():
         srv.shutdown()
 
 
+def test_stream_concurrent_sessions_are_isolated():
+    """Two sessions streaming CONCURRENTLY over one server (same config ->
+    same compiled chunk program) must each equal their own one-shot
+    analysis: the device-resident (est_f, est_b) formant carry is
+    per-session state, and interleaved chunk dispatches from two handler
+    threads must never cross-pollinate it."""
+    srv, host, port = _make_server()
+    try:
+        xs = [_sine(1.0, f=180.0, noise=0.01, seed=1),
+              _sine(1.0, f=320.0, noise=0.01, seed=2)]
+        out = [None, None]
+        errs = []
+
+        def go(i):
+            try:
+                out[i] = _stream(host, port, xs[i], block=1311,
+                                 open_q="rate=8000&frame_ms=16&hop_ms=8")
+            except Exception as e:  # surface assertion text, not a hang
+                errs.append((i, repr(e)))
+
+        ts = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+        from voxtpu.cli import build_analysis_config
+
+        cfg = build_analysis_config(SR, frame_ms=16.0, hop_ms=8.0)
+        for i in range(2):
+            feats, resp = out[i]
+            one = analyze(xs[i], cfg)
+            _assert_feats_match_one_shot(feats, one, resp["frames_done"])
+        assert srv.stats.snapshot()["stream_sessions"] == 2
+    finally:
+        srv.shutdown()
+
+
 def test_stream_http_viterbi_close_matches_whole_recording_dp():
     """viterbi=1 at open: close's full-length track == the host DP over the
     one-shot trimmed candidates (global intensity peak spans the stream)."""
