@@ -219,7 +219,7 @@ def test_sharded_group_in_subprocess():
             [sys.executable, "-m", "pytest", "-q", "-x", "-n", "0",
              f"--junitxml={junit}",
              os.path.abspath(__file__), "-k", "sharded or dryrun_multichip"],
-            env=env, capture_output=True, text=True, timeout=2400,
+            env=env, capture_output=True, text=True, timeout=3600,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
         assert r.returncode == 0, (

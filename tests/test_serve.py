@@ -214,7 +214,7 @@ def test_serve_dp_group_in_subprocess():
     r = subprocess.run(
         [sys.executable, "-m", "pytest", "-q", "-x", os.path.abspath(__file__),
          "-k", "data_parallel_matches"],
-        env=env, capture_output=True, text=True, timeout=1200,
+        env=env, capture_output=True, text=True, timeout=2400,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert r.returncode == 0, f"dp child failed\n{r.stdout[-3000:]}\n{r.stderr[-1500:]}"
