@@ -36,17 +36,31 @@ def load_bench() -> dict:
         src = cands[-1]
         with open(src) as f:
             text = f.read()
-    # The bench prints one JSON object per line; take the last parseable one.
+    # Accepted shapes, in order:
+    #   1. the driver's BENCH_r*.json wrapper — a pretty-printed object whose
+    #      "parsed" field holds the bench record (or the record itself if the
+    #      whole file is one bench JSON object),
+    #   2. raw `python bench.py` output — one JSON object per line among the
+    #      warnings; take the last parseable one.
     rec = None
-    for line in text.strip().splitlines():
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                rec = json.loads(line)
-            except json.JSONDecodeError:
-                continue
+    try:
+        obj = json.loads(text)
+    except json.JSONDecodeError:
+        obj = None
+    if isinstance(obj, dict):
+        cand = obj.get("parsed", obj)
+        if isinstance(cand, dict) and "value" in cand:
+            rec = cand
     if rec is None:
-        raise SystemExit(f"no JSON object found in {src}")
+        for line in text.strip().splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+    if rec is None or "value" not in rec:
+        raise SystemExit(f"no bench JSON record found in {src}")
     rec["_source"] = os.path.basename(src)
     return rec
 

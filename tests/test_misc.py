@@ -229,3 +229,38 @@ def test_frame_signal_batched_input():
             for c in range(3):
                 exp = np.stack([x[b, c, i * hop : i * hop + n] for i in range(F)])
                 np.testing.assert_array_equal(f[b, c], exp, err_msg=f"{n},{hop}")
+
+
+def test_update_headline_parses_driver_wrapper(tmp_path, monkeypatch):
+    """scripts/update_headline.py must accept BOTH bench-JSON shapes: the raw
+    one-object-per-line `python bench.py` output AND the driver's
+    pretty-printed BENCH_r*.json wrapper (record under "parsed") — the
+    wrapper is what the default newest-BENCH_r*.json path reads, and a
+    multi-line object has no single parseable line (regression: r5)."""
+    import importlib.util
+    import json
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "update_headline",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "update_headline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rec = {"metric": "m", "value": 1788.3, "unit": "u", "vs_baseline": 254.1,
+           "wall_ms": 199.6, "device_ms": 130.6, "sustained_xrt": 2733.1,
+           "tunnel_floor_ms": 28.0}
+
+    wrapper = tmp_path / "BENCH_r99.json"
+    wrapper.write_text(json.dumps({"n": 4, "rc": 0, "parsed": rec}, indent=2))
+    raw = tmp_path / "bench_out.json"
+    raw.write_text("WARNING: platform is experimental\n" + json.dumps(rec) + "\n")
+    bare = tmp_path / "bare.json"
+    bare.write_text(json.dumps(rec, indent=2))
+
+    for src in (wrapper, raw, bare):
+        monkeypatch.setattr(sys, "argv", ["update_headline.py", str(src)])
+        got = mod.load_bench()
+        assert got["value"] == rec["value"] and got["device_ms"] == rec["device_ms"], src
